@@ -1,38 +1,356 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+(scoring pipeline, analytics aggregations, windows/top-k, joins, unions,
+dedup, similarity, text analysis); ``oracle_sql()`` carries the matching
+DuckDB SQL, generated from the SAME rules-as-data config wherever the
+semantics are shared (metadata_quality_stack_spark.oracle.sqlgen).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark import config
+from metadata_quality_stack_spark.operators import analytics, dedup, similarity, textops
+from metadata_quality_stack_spark.operators.rules import apply_quality
+from metadata_quality_stack_spark.oracle import sqlgen
+
+EVENTS_START = "2024-01-05 00:00:00"
+EVENTS_END = "2024-01-10 00:00:00"
+JACCARD_MAX_DOC = 200  # pairwise stage is candidate-limited (see dedup.py)
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.scored_documents(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# entry: flagship — full native quality pipeline on sf0.001
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = apply_quality(docs, meta_cols=analytics.DOC_META)
+    return scored.select(
+        "doc_id",
+        "source",
+        "lang",
+        *config.DIMENSIONS,
+        "total_score",
+        "rating",
+        "keep",
+        F.array_join("drop_reasons", ",").alias("drop_reasons"),
+    )
 
 
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- quality-filter core (A1-A5 rollup; SURVEY §2.4-2.5)
+    q["quality_scores"] = lambda s, d: _scored(s, d).select(
+        "doc_id", *config.DIMENSIONS, "total_score", "rating", "keep"
+    )
+    q["rating_histogram"] = lambda s, d: analytics.rating_histogram(_scored(s, d))
+    q["dimension_stats"] = lambda s, d: analytics.dimension_stats(_scored(s, d))
+    q["corpus_summary"] = lambda s, d: analytics.corpus_summary(_scored(s, d))
+    q["top_sources"] = lambda s, d: analytics.top_sources(_scored(s, d))
+    q["dimension_correlation"] = lambda s, d: analytics.dimension_correlation(_scored(s, d))
+    q["keep_drop_extremes"] = lambda s, d: analytics.union_keep_drop_extremes(_scored(s, d))
+
+    # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
+    q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
+    q["latest_event_per_user"] = lambda s, d: analytics.latest_event_per_user(
+        _t(s, d, "events")
+    )
+    q["events_date_range"] = lambda s, d: analytics.events_date_range(
+        _t(s, d, "events"), EVENTS_START, EVENTS_END
+    )
+
+    # -- text analysis (token counting, langid, fingerprint, scrub)
+    q["token_stats"] = lambda s, d: textops.token_stats(_t(s, d, "documents"))
+    q["langid_heuristic"] = lambda s, d: textops.langid_heuristic(_t(s, d, "documents"))
+    q["doc_fingerprint"] = lambda s, d: textops.doc_fingerprint(_t(s, d, "documents"))
+    q["scrub_pii"] = lambda s, d: textops.scrub_documents(_t(s, d, "documents"))
+
+    # -- dedup family
+    q["exact_dedup"] = lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents"))
+    q["minhash_bands"] = lambda s, d: dedup.minhash_bands(_t(s, d, "documents"))
+    q["minhash_candidate_pairs"] = lambda s, d: dedup.minhash_candidate_pairs(
+        _t(s, d, "documents")
+    )
+    q["ngram_jaccard_pairs"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents").filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    )
+    q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
+
+    # -- similarity search over embeddings
+    q["embedding_topk"] = lambda s, d: similarity.brute_force_topk(
+        _t(s, d, "embeddings")
+    )
+    q["lsh_bucket_histogram"] = lambda s, d: similarity.lsh_bucket_histogram(
+        _t(s, d, "embeddings")
+    )
+    q["ann_topk"] = lambda s, d: similarity.ann_topk(_t(s, d, "embeddings"))
+
+    # -- relational coverage (joins, conditional agg)
+    def tpch_q1(s: SparkSession, d: str) -> DataFrame:
+        li = _t(s, d, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["tpch_q1"] = tpch_q1
+
+    def orders_by_nation(s: SparkSession, d: str) -> DataFrame:
+        o = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        n = _t(s, d, "nation")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+            )
+        )
+
+    q["orders_by_nation"] = orders_by_nation
+    return q
 
 
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    scored = sqlgen.native_scoring_sql()
+    scored_src = sqlgen.native_scoring_sql(extra_cols=("source",))
+    dims = config.DIMENSIONS
+    o: dict[str, str] = {}
+
+    o["quality_scores"] = (
+        f"WITH scored AS ({scored}) SELECT doc_id, {', '.join(dims)}, "
+        "total_score, rating, keep FROM scored"
+    )
+    o["rating_histogram"] = (
+        f"WITH scored AS ({scored}) "
+        "SELECT rating, count(*) AS n_docs FROM scored GROUP BY rating"
+    )
+    o["dimension_stats"] = f"WITH scored AS ({scored}) " + " UNION ALL ".join(
+        f"SELECT '{d}' AS dimension, round(avg({d}), 4) AS avg_score, "
+        f"min({d}) AS min_score, max({d}) AS max_score FROM scored"
+        for d in dims
+    )
+    o["corpus_summary"] = (
+        f"WITH scored AS ({scored_src}) "
+        "SELECT count(DISTINCT source) AS n_sources, "
+        "round(avg(total_score), 4) AS mean_score, count(*) AS n_docs FROM scored"
+    )
+    o["top_sources"] = (
+        f"WITH scored AS ({scored_src}) "
+        "SELECT source, round(avg(total_score), 4) AS avg_score, count(*) AS n_docs "
+        "FROM scored GROUP BY source ORDER BY avg_score DESC, source ASC LIMIT 5"
+    )
+    o["dimension_correlation"] = f"WITH scored AS ({scored}) " + " UNION ALL ".join(
+        f"SELECT '{d}' AS dimension, "
+        f"round(covar_pop(CAST({d} AS DOUBLE), CAST(total_score AS DOUBLE)) / "
+        f"nullif(stddev_pop(CAST({d} AS DOUBLE)) * "
+        f"stddev_pop(CAST(total_score AS DOUBLE)), 0.0), 4) AS corr_with_total "
+        f"FROM scored"
+        for d in dims
+    )
+    o["keep_drop_extremes"] = (
+        f"WITH scored AS ({scored}) "
+        "SELECT * FROM (SELECT doc_id, total_score, 'best' AS bucket FROM scored "
+        "ORDER BY total_score DESC, doc_id ASC LIMIT 10) "
+        "UNION ALL "
+        "SELECT * FROM (SELECT doc_id, total_score, 'worst' AS bucket FROM scored "
+        "ORDER BY total_score ASC, doc_id ASC LIMIT 10)"
+    )
+    o["lang_histogram"] = (
+        "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars "
+        "FROM documents GROUP BY lang"
+    )
+    o["latest_event_per_user"] = (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1"
+    )
+    o["events_date_range"] = (
+        f"SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+        f"FROM events WHERE ts >= TIMESTAMP '{EVENTS_START}' "
+        f"AND ts < TIMESTAMP '{EVENTS_END}' GROUP BY event_type"
+    )
+
+    # -- text analysis
+    sw = "[" + ", ".join(f"'{s}'" for s in config.STOPWORDS_EN) + "]"
+    o["token_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, len(toks) AS n_words,
+    len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct_words,
+    coalesce(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS sum_len,
+    len(list_filter(list_transform(toks, x -> lower(x)),
+        x -> list_contains({sw}, x))) AS sw_hits
+  FROM t
+)
+SELECT doc_id, n_words, n_distinct_words,
+  round(coalesce(CAST(sum_len AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0), 0.0), 6)
+    AS mean_word_len,
+  round(coalesce(CAST(sw_hits AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0), 0.0), 6)
+    AS stopword_density
+FROM f
+"""
+    o["langid_heuristic"] = textops.langid_heuristic_sql()
+    o["doc_fingerprint"] = (
+        "SELECT doc_id, md5(text) AS fingerprint, "
+        "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) "
+        "AS norm_fingerprint FROM documents"
+    )
+    from metadata_quality_stack_spark.functions.scrub import scrub_sql_exprs
+
+    sc = scrub_sql_exprs("text")
+    o["scrub_pii"] = (
+        "SELECT doc_id, "
+        f"{sc['scrubbed_text']} AS scrubbed_text, "
+        f"CAST({sc['scrub_email_count']} AS INTEGER) AS scrub_email_count, "
+        f"CAST({sc['scrub_ip_count']} AS INTEGER) AS scrub_ip_count, "
+        f"CAST({sc['scrub_phone_count']} AS INTEGER) AS scrub_phone_count, "
+        f"CAST({sc['scrub_count']} AS INTEGER) AS scrub_count "
+        "FROM documents"
+    )
+
+    # -- dedup
+    o["exact_dedup"] = (
+        "SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_doc_id, "
+        "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+    )
+    sh = dedup.shingles_sql()
+    mh_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{k}:' || s))) AS mh{k}"
+        for k in range(dedup.N_MINHASH)
+    )
+    rpb = dedup.N_MINHASH // dedup.N_BANDS
+    band_selects = []
+    for b in range(dedup.N_BANDS):
+        parts = " || '|' || ".join(
+            f"coalesce(mh{b * rpb + i}, '')" for i in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig"
+        )
+    bands_cte = (
+        f"WITH sh AS (SELECT doc_id, {sh} AS shingles FROM documents),\n"
+        f"sig AS (SELECT doc_id, {mh_cols} FROM sh),\n"
+        f"bands AS ({' UNION ALL '.join(band_selects)})"
+    )
+    o["minhash_bands"] = f"{bands_cte} SELECT doc_id, band, bucket FROM bands"
+    o["minhash_candidate_pairs"] = (
+        f"{bands_cte} "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id"
+    )
+    o["ngram_jaccard_pairs"] = f"""
+WITH lim AS (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
+sh AS (SELECT doc_id, unnest({sh}) AS s FROM lim),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_common,
+  round(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) AS jaccard
+FROM (
+  SELECT c.d1, c.d2, c.n_common, s1.n_sh AS n1, s2.n_sh AS n2
+  FROM common c JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+)
+WHERE round(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) >= 0.2
+"""
+    ph = dedup.poly_hash_sql("x")
+    votes = []
+    for j in range(16):
+        votes.append(
+            f"coalesce(list_sum(list_transform(hashes, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)), 0) AS v{j}"
+        )
+    sim_terms = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    o["simhash"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'),
+                                 x -> x <> ''), x -> lower(x)),
+      x -> {ph}) AS hashes
+  FROM documents
+), v AS (SELECT doc_id, {', '.join(votes)} FROM t)
+SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM v
+"""
+
+    # -- similarity
+    cos_q = similarity.cosine_sql("embedding", "q.q_emb")
+    o["embedding_topk"] = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, round({cos_q}, 6) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+    bucket = similarity.lsh_bucket_sql("embedding")
+    o["lsh_bucket_histogram"] = (
+        f"SELECT {bucket} AS bucket, count(*) AS n_vecs FROM embeddings GROUP BY 1"
+    )
+    o["ann_topk"] = f"""
+WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM wb WHERE vec_id = 0)
+SELECT vec_id, label, round({cos_q}, 6) AS cos_sim
+FROM wb, q WHERE wb.bucket = q.q_bucket AND vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    # -- relational
+    o["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+    o["orders_by_nation"] = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+    return o

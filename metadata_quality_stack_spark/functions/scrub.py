@@ -1,0 +1,58 @@
+"""PII scrub — chained native regexp_replace (north rule: regex-based
+PII/toxicity scrubbing of emails, phones, IPs).
+
+All patterns live in config (Java/RE2/Python common subset). The chain is
+ordered (config.SCRUB_ORDER) and counts are measured stage-by-stage on the
+text as it existed entering that stage, so the pandas oracle and DuckDB SQL
+replicate byte-identical output (SURVEY.md §4.3 #6, #8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark import config
+
+
+def scrub_columns(text: Column) -> dict[str, Column]:
+    """Returns scrubbed text + per-kind scrub counts."""
+    out: dict[str, Column] = {}
+    cur = text
+    for kind in config.SCRUB_ORDER:
+        pattern, token = config.PII_REPLACEMENTS[kind]
+        out[f"scrub_{kind}_count"] = F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    out["scrubbed_text"] = cur
+    total = None
+    for kind in config.SCRUB_ORDER:
+        c = out[f"scrub_{kind}_count"]
+        total = c if total is None else total + c
+    out["scrub_count"] = total
+    return out
+
+
+def apply_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = scrub_columns(F.col(text_col))
+    return df.select(
+        df["*"],
+        *[cols[k].alias(k) for k in sorted(cols)],
+    )
+
+
+def scrub_sql_exprs(text: str = "text") -> dict[str, str]:
+    """DuckDB-dialect mirror of scrub_columns (for oracle_sql)."""
+    out: dict[str, str] = {}
+    cur = text
+    for kind in config.SCRUB_ORDER:
+        pattern, token = config.PII_REPLACEMENTS[kind]
+        pat_sql = pattern.replace("'", "''")
+        out[f"scrub_{kind}_count"] = (
+            f"len(regexp_extract_all({cur}, '{pat_sql}'))"
+        )
+        cur = f"regexp_replace({cur}, '{pat_sql}', '{token}', 'g')"
+    out["scrubbed_text"] = cur
+    out["scrub_count"] = " + ".join(
+        out[f"scrub_{k}_count"] for k in config.SCRUB_ORDER
+    )
+    return out

@@ -1,0 +1,141 @@
+"""Report-store analytics operators (SURVEY.md §2.5-2.7).
+
+Spark re-expressions of the reference dashboard's pandas aggregations
+(src/frontend/dashboard.py) and repo scans (src/api/tinydb_repo.py):
+A6 distinct catalogs, A7 mean score, A8 rating histogram, A9 per-dimension
+stats, A12 most-common rating, J5 latest-per-key window, O2 top-N, P4
+date-range predicates, U1/U2 unions and distinct.
+
+Each function takes DataFrames and returns a DataFrame with aliased,
+deterministic output columns (floats rounded to fixed decimals so the
+driver's value-hash comparison is stable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark import config
+from metadata_quality_stack_spark.operators.rules import apply_quality
+
+DOC_META = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
+
+
+def scored_documents(docs: DataFrame) -> DataFrame:
+    """Native-profile per-document quality scores (the 'report store')."""
+    return apply_quality(docs, meta_cols=DOC_META)
+
+
+def rating_histogram(scored: DataFrame) -> DataFrame:
+    """A8 — dashboard.py:97-100: count per rating bucket."""
+    return scored.groupBy("rating").agg(F.count("*").alias("n_docs"))
+
+
+def dimension_stats(scored: DataFrame) -> DataFrame:
+    """A9 — dashboard.py:176-254: avg/min/max per dimension, one row each."""
+    frames = []
+    for d in config.DIMENSIONS:
+        frames.append(
+            scored.agg(
+                F.lit(d).alias("dimension"),
+                F.round(F.avg(d), 4).alias("avg_score"),
+                F.min(d).alias("min_score"),
+                F.max(d).alias("max_score"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def corpus_summary(scored: DataFrame) -> DataFrame:
+    """A6+A7 — dashboard.py:94-95: distinct sources, mean total score."""
+    return scored.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("total_score"), 4).alias("mean_score"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def top_sources(scored: DataFrame, n: int = 5) -> DataFrame:
+    """O2 — dashboard.py:279-309: top-N sources by mean score (tiebreak source)."""
+    return (
+        scored.groupBy("source")
+        .agg(F.round(F.avg("total_score"), 4).alias("avg_score"), F.count("*").alias("n_docs"))
+        .orderBy(F.desc("avg_score"), F.asc("source"))
+        .limit(n)
+    )
+
+
+def lang_histogram(docs: DataFrame) -> DataFrame:
+    """A11 analog — per-partition lang histogram (north rule metric)."""
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """J5 — dashboard.py:267-276 latest-report-per-source: argmax window.
+    Deterministic tiebreak on event_id desc."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def events_date_range(events: DataFrame, start: str, end: str) -> DataFrame:
+    """P4 — tinydb_repo.py:89-93: date-range scan + per-type rollup."""
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def dimension_correlation(scored: DataFrame) -> DataFrame:
+    """A10 — dashboard.py:326-372: pairwise correlation of dimension scores
+    with the total. Rounded to 4 to survive float-order differences."""
+    rows = []
+    for d in config.DIMENSIONS:
+        x = F.col(d).cast("double")
+        y = F.col("total_score").cast("double")
+        # manual corr (covar/stddev with nullif guard): ANSI-safe on
+        # zero-variance dimensions, mirroring the reference's exclusion of
+        # constant columns (dashboard.py:326-372)
+        corr = F.covar_pop(x, y) / F.nullif(
+            F.stddev_pop(x) * F.stddev_pop(y), F.lit(0.0)
+        )
+        rows.append(
+            scored.agg(
+                F.lit(d).alias("dimension"),
+                F.round(corr, 4).alias("corr_with_total"),
+            )
+        )
+    out = rows[0]
+    for f in rows[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def union_keep_drop_extremes(scored: DataFrame) -> DataFrame:
+    """U1 — validators.py:940,949 union-all analog: best and worst docs
+    unioned with a provenance tag."""
+    best = (
+        scored.orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "total_score", F.lit("best").alias("bucket"))
+    )
+    worst = (
+        scored.orderBy(F.asc("total_score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "total_score", F.lit("worst").alias("bucket"))
+    )
+    return best.unionByName(worst)

@@ -1,0 +1,187 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
+All hashes are content-derived (md5 / seeded polynomial) so the DuckDB
+oracle computes identical values — no engine-internal hash functions.
+
+Scale notes (100 TB design):
+* exact dedup  — one shuffle on the 128-bit fingerprint; AQE coalesces.
+* minhash LSH  — shingle->signature is map-side only; the only shuffle is
+  the band-bucket explode+groupBy (k_bands rows/doc, tiny vs text).
+* pairwise jaccard is intentionally candidate-limited; at scale it runs
+  AFTER LSH banding on candidate pairs only, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.functions.text import tokens
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+SHINGLE_N = 3
+
+
+def _shingles(text_col):
+    """Distinct 3-word shingles (space-joined), [] when < 3 tokens."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= SHINGLE_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(text: str = "text") -> str:
+    toks = f"list_filter(regexp_split_to_array({text}, '[ \\t\\n\\r]+'), x -> x <> '')"
+    return (
+        f"CASE WHEN len({toks}) >= {SHINGLE_N} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {SHINGLE_N - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{SHINGLE_N - 1}], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5(text) fingerprint -> group stats + canonical id.
+    At scale: single hash-shuffle on the fingerprint."""
+    fp = F.md5(F.encode(F.col("text"), "UTF-8"))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash over 3-word shingles; hash_k(s) = md5('k:' || s), signature
+    element = lexicographic min (md5 hex is uniform, string-min == num-min)."""
+    sh = _shingles(F.col("text"))
+
+    def mh(k: int):
+        prefix = f"{k}:"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8")))
+        ).alias(f"mh{k}")
+
+    return docs.select("doc_id", *[mh(k) for k in range(n_hashes)])
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """LSH banding: band bucket = md5(concat of the band's minhashes).
+    Output one row per (doc, band) — the shuffle-side key for candidate join."""
+    sigs = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [
+            F.coalesce(F.col(f"mh{b * rows_per_band + i}"), F.lit(""))
+            for i in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.encode(F.concat_ws("|", *parts), "UTF-8")).alias("bucket"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Docs sharing any LSH band bucket (self-join on bucket, d1 < d2)."""
+    bands = minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Pairwise Jaccard over distinct 3-shingles via shingle-inverted-index
+    self-join. At 100 TB this runs only on LSH candidates; here the input
+    is expected to be pre-limited by the caller."""
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+# 55-bit seeded polynomial string hash — overflow-safe in int64 for both
+# engines (31*h + 127 < 2^60 when h < 2^55).
+_POLY_MOD = 1 << 55
+
+
+def _poly_hash(col):
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _POLY_MOD,
+    )
+
+
+def poly_hash_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(string_split_regex({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {_POLY_MOD})"
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+    """SimHash over lowercased tokens with the seeded polynomial hash;
+    bit j set when sum over tokens of (+1/-1 by hash bit j) > 0."""
+    lows = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+    hashes = F.transform(lows, lambda x: _poly_hash(x))
+    def vote(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    bit_terms = [
+        F.when(vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(n_bits)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return docs.select("doc_id", sim.cast("long").alias("simhash"))

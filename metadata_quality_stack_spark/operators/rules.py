@@ -1,0 +1,214 @@
+"""Rule compiler: rules-as-data -> one wide select of Column expressions.
+
+The Spark analog of the reference's metric loop (validators.py:878-974) —
+but single-pass: every rule's (count, population) is a conditional
+expression over shared feature columns; Catalyst's CollapseProject folds
+the whole thing into one projection with common-subexpression reuse.
+
+Scoring semantics (exact, see SURVEY.md §4.3):
+  percentage = count/population, 0 when population == 0  (validators.py:957)
+  points     = percentage * weight                        (validators.py:958)
+  dimension  = HALF_EVEN round of sum(points)             (validators.py:994-1002)
+  total      = sum(dimension scores)                      (validators.py:770)
+  rating     = >=351 Excellent >=221 Good >=121 Sufficient else Bad
+                                                          (validators.py:1006-1027)
+  keep       = rating != 'Bad'
+
+HALF_EVEN is implemented manually (floor-based tie-to-even) instead of
+``F.bround`` so the exact same double arithmetic runs in Spark, DuckDB
+(oracle/sqlgen.py) and the pandas oracle — bit-identical on IEEE doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark import config
+from metadata_quality_stack_spark.functions.text import feature_columns, safe_div
+
+
+def _as_pct(cond: Column) -> Column:
+    """Binary rule -> percentage in {0.0, 1.0}."""
+    return F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def native_rule_percentages(
+    feats: dict[str, Column], meta: dict[str, Column | None]
+) -> dict[str, Column]:
+    """Percentage column per native (non-model) rule id.
+
+    ``meta`` may supply 'lang', 'source', 'n_chars' columns; a missing
+    metadata column makes its presence-rule vacuously pass (population
+    matches the reference's routing quirk where an inapplicable checker
+    scores trivially, SURVEY.md §2.5 note).
+    """
+    c = config
+    # nullif denominators: ANSI-safe (Spark 4 raises DIVIDE_BY_ZERO even for
+    # doubles); a NULL ratio makes the surrounding comparison NULL, which
+    # F.when treats as false -> rule fails, matching the reference's
+    # degrade-to-zero error path (validators.py:953-955)
+    wc = F.nullif(feats["n_words"].cast("double"), F.lit(0.0))
+    nch = F.nullif(feats["n_chars_txt"].cast("double"), F.lit(0.0))
+    nln = F.nullif(feats["n_lines"].cast("double"), F.lit(0.0))
+
+    def present(col: Column | None) -> Column:
+        if col is None:
+            return F.lit(1.0)
+        return _as_pct(col.isNotNull() & (col.cast("string") != F.lit("")))
+
+    mwl = feats["sum_word_len"].cast("double") / wc  # null-safe via wc>0 guard below
+    pct: dict[str, Column] = {
+        "word_count": _as_pct(
+            (feats["n_words"] >= c.MIN_WORDS) & (feats["n_words"] <= c.MAX_WORDS)
+        ),
+        "mean_word_length": _as_pct(
+            (feats["n_words"] > 0)
+            & (mwl >= c.MIN_MEAN_WORD_LEN)
+            & (mwl <= c.MAX_MEAN_WORD_LEN)
+        ),
+        "alpha_ratio": safe_div(feats["n_alpha"], feats["n_chars_txt"]),
+        "line_uniqueness": safe_div(feats["n_distinct_lines"], feats["n_lines"]),
+        "terminal_punct": safe_div(feats["n_terminal_punct_lines"], feats["n_lines"]),
+        "ellipsis_free": safe_div(feats["n_lines"] - feats["n_ellipsis_lines"], feats["n_lines"]),
+        "boilerplate_free": _as_pct(~feats["has_boilerplate"]),
+        "stopword_density": _as_pct(
+            (feats["n_words"] > 0)
+            & (feats["n_stopword_hits"].cast("double") / wc >= c.MIN_STOPWORD_DENSITY)
+        ),
+        "stopword_distinct": _as_pct(
+            feats["n_distinct_stopwords"] >= c.MIN_DISTINCT_STOPWORDS
+        ),
+        "symbol_ratio": _as_pct(
+            (feats["n_words"] > 0)
+            & (feats["n_symbols"].cast("double") / wc <= c.MAX_SYMBOL_WORD_RATIO)
+        ),
+        "bullet_free": safe_div(feats["n_lines"] - feats["n_bullet_lines"], feats["n_lines"]),
+        "word_diversity": safe_div(feats["n_distinct_words"], feats["n_words"]),
+        "digit_ratio": _as_pct(
+            (feats["n_chars_txt"] > 0)
+            & (feats["n_digit"].cast("double") / nch <= c.MAX_DIGIT_RATIO)
+        ),
+        "pii_email_free": _as_pct(~feats["has_email"]),
+        "pii_phone_free": _as_pct(~feats["has_phone"]),
+        "whitespace_ratio": _as_pct(
+            (feats["n_chars_txt"] > 0)
+            & (feats["n_ws"].cast("double") / nch <= c.MAX_WHITESPACE_RATIO)
+        ),
+        "pii_ip_free": _as_pct(~feats["has_ip"]),
+        "chars_consistent": (
+            F.lit(1.0)
+            if meta.get("n_chars") is None
+            else _as_pct(meta["n_chars"] == feats["n_chars_txt"])
+        ),
+        "lang_present": present(meta.get("lang")),
+        "source_present": present(meta.get("source")),
+        "avg_line_len": _as_pct(
+            (feats["n_lines"] > 0) & (nch / nln <= c.MAX_AVG_LINE_LEN)
+        ),
+    }
+    return pct
+
+
+def model_rule_percentages(
+    lang_col: Column | None,
+    langid_pred: Column,
+    langid_conf: Column,
+    ppl: Column,
+) -> dict[str, Column]:
+    """Percentages for the pandas-UDF-backed model rules (the checker
+    plugin slot, validators.py:74-90)."""
+    match = (
+        F.lit(0.0)
+        if lang_col is None
+        else _as_pct(lang_col.isNotNull() & (langid_pred == lang_col))
+    )
+    return {
+        "langid_match": match,
+        "langid_confidence": F.least(F.greatest(langid_conf, F.lit(0.0)), F.lit(1.0)),
+        "perplexity_ok": _as_pct(ppl <= config.PERPLEXITY_MAX),
+    }
+
+
+def half_even_int(x: Column) -> Column:
+    """HALF_EVEN round-to-int on non-negative doubles, floor-based so the
+    identical arithmetic is expressible in DuckDB SQL and numpy."""
+    fl = F.floor(x)
+    tie = (x - fl) == F.lit(0.5)
+    return (
+        F.when(tie, fl + (fl.cast("long") % 2)).otherwise(F.floor(x + F.lit(0.5)))
+    ).cast("int")
+
+
+def score_columns(pcts: dict[str, Column], profile: str) -> dict[str, Column]:
+    """points per rule -> dimension scores -> total -> rating -> keep."""
+    rules = config.RULES_BY_PROFILE[profile]
+    out: dict[str, Column] = {}
+    dim_sum: dict[str, Column] = {}
+    for r in rules:
+        pts = pcts[r["id"]] * F.lit(float(r["weight"]))
+        out[f"pts_{r['id']}"] = pts
+        dim_sum[r["dimension"]] = (
+            pts if r["dimension"] not in dim_sum else dim_sum[r["dimension"]] + pts
+        )
+    total: Column | None = None
+    for d in config.DIMENSIONS:
+        dim_col = half_even_int(dim_sum.get(d, F.lit(0.0)))
+        out[d] = dim_col
+        total = dim_col if total is None else total + dim_col
+    out["total_score"] = total.cast("int")
+    t = config.RATING_THRESHOLDS
+    out["rating"] = (
+        F.when(out["total_score"] >= t["excellent"], "Excellent")
+        .when(out["total_score"] >= t["good"], "Good")
+        .when(out["total_score"] >= t["sufficient"], "Sufficient")
+        .otherwise("Bad")
+    )
+    rule_ids = {r["id"] for r in rules}
+    hard_ok = F.lit(True)
+    for rid in config.HARD_RULES:
+        if rid in rule_ids:
+            hard_ok = hard_ok & (pcts[rid] >= F.lit(0.5))
+    out["keep"] = (out["total_score"] >= F.lit(t["sufficient"])) & hard_ok
+    return out
+
+
+def drop_reasons(pcts: dict[str, Column], profile: str) -> Column:
+    """Array of rule ids with percentage < 0.5, in rule-table order."""
+    rules = config.RULES_BY_PROFILE[profile]
+    pairs = [F.when(pcts[r["id"]] < 0.5, F.lit(r["id"])) for r in rules]
+    return F.array_compact(F.array(*pairs))
+
+
+def apply_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    meta_cols: dict[str, str] | None = None,
+    profile: str = "webtext_native",
+    keep_pcts: bool = False,
+) -> DataFrame:
+    """Attach native-rule scoring columns to ``df`` in ONE projection.
+
+    For the full 'webtext' profile (model rules included) use
+    plans.pipeline.quality_pipeline, which wires the pandas-UDF scorers
+    in front of this rollup.
+    """
+    meta_cols = meta_cols or {}
+    meta = {k: (F.col(v) if v else None) for k, v in meta_cols.items()}
+    feats = feature_columns(F.col(text_col))
+    pcts = native_rule_percentages(feats, meta)
+    if profile != "webtext_native":
+        raise ValueError("apply_quality only compiles native profiles; "
+                         "use plans.pipeline.quality_pipeline for model rules")
+    scores = score_columns(pcts, profile)
+    cols = [df["*"]]
+    if keep_pcts:
+        cols += [pcts[r["id"]].alias(f"pct_{r['id']}") for r in config.RULES_BY_PROFILE[profile]]
+    cols += [scores[d].alias(d) for d in config.DIMENSIONS]
+    cols += [
+        scores["total_score"].alias("total_score"),
+        scores["rating"].alias("rating"),
+        scores["keep"].alias("keep"),
+        drop_reasons(pcts, profile).alias("drop_reasons"),
+    ]
+    return df.select(*cols)

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k against a query vector; the
+  baseline. Dot products are native expressions (zip_with + left-fold
+  aggregate) so the whole scan stays in whole-stage codegen.
+* hyperplane LSH — sign-bit bucketing with deterministic seeded
+  hyperplanes; the 100 TB path (shuffle only on the small bucket key,
+  candidates searched within buckets).
+
+All arithmetic is explicit double with a fixed fold order so the DuckDB
+oracle (list_reduce mirror) produces bit-identical values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_SEED = 1234
+LSH_N_PLANES = 8
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def hyperplanes(n_planes: int = LSH_N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic seeded hyperplanes, rounded so SQL literals are exact."""
+    rng = np.random.RandomState(LSH_SEED)
+    h = rng.randn(n_planes, dim)
+    return [[round(float(v), 6) for v in row] for row in h]
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k vs the embedding of ``query_vec_id``.
+    The 1-row query side is broadcast — no shuffle of the big side."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]] | None = None) -> Column:
+    """Bucket = concatenated sign bits of dot(embedding, plane_i)."""
+    planes = planes or hyperplanes()
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(v) for v in p])
+        bits.append(F.when(_dot(emb, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_histogram(embeddings: DataFrame) -> DataFrame:
+    """Bucket occupancy — the skew diagnostic for the ANN path."""
+    return (
+        embeddings.select(lsh_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """IVF/LSH-style ANN: exact cosine only within the query's bucket."""
+    with_b = embeddings.select(
+        "vec_id", "label", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = with_b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        with_b.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- SQL mirrors
+def dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Left-fold double dot product — bit-identical to _dot (0.0+x == x)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"{dot_sql(a, b, dim)} / "
+        f"(sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)}))"
+    )
+
+
+def plane_sql_literal(p: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+def lsh_bucket_sql(emb: str, planes: list[list[float]] | None = None) -> str:
+    planes = planes or hyperplanes()
+    bits = [
+        f"CASE WHEN {dot_sql(emb, plane_sql_literal(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    return " || ".join(bits)

@@ -1,0 +1,111 @@
+"""Text-analysis operators: token stats, heuristic language-ID,
+document fingerprinting, PII scrub projection.
+
+The heuristic langid here is the SQL-expressible stopword-vote variant
+(argmax over per-language stopword hit counts, first-in-order tiebreak);
+the model langid (hashed char-n-gram, fastText-style) lives in
+functions/langid.py as a pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark import config
+from metadata_quality_stack_spark.functions.scrub import scrub_columns
+from metadata_quality_stack_spark.functions.text import safe_div, tokens
+
+LANG_ORDER = list(config.STOPWORDS_BY_LANG)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    toks = tokens(F.col("text"))
+    lows = F.transform(toks, lambda x: F.lower(x))
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(F.array_distinct(lows)).alias("n_distinct_words"),
+        F.round(safe_div(sum_len, n), 6).alias("mean_word_len"),
+        F.round(
+            safe_div(F.size(F.filter(lows, lambda x: x.isin(*config.STOPWORDS_EN))), n), 6
+        ).alias("stopword_density"),
+    )
+
+
+def langid_heuristic(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language-ID: hits per language set, argmax with
+    first-in-LANG_ORDER tiebreak (matches langid_heuristic_sql)."""
+    lows = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+
+    def hits(sw: list[str]):
+        return F.size(F.filter(lows, lambda x: x.isin(*sw)))
+
+    scores = {lang: hits(sw) for lang, sw in config.STOPWORDS_BY_LANG.items()}
+    best = F.greatest(*scores.values())
+    # CASE WHEN s_l1 = best THEN l1 WHEN s_l2 = best THEN l2 ... (first wins)
+    expr = F.when(scores[LANG_ORDER[0]] == best, F.lit(LANG_ORDER[0]))
+    for lang in LANG_ORDER[1:]:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        "lang",
+        expr.alias("lang_pred"),
+        best.alias("best_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Exact-content fingerprint (md5) + normalized fingerprint
+    (lowercased, whitespace-collapsed) for near-exact dedup."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\r]+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
+        F.md5(F.encode(F.trim(norm), "UTF-8")).alias("norm_fingerprint"),
+    )
+
+
+def scrub_documents(docs: DataFrame) -> DataFrame:
+    cols = scrub_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["scrubbed_text"].alias("scrubbed_text"),
+        cols["scrub_email_count"].alias("scrub_email_count"),
+        cols["scrub_ip_count"].alias("scrub_ip_count"),
+        cols["scrub_phone_count"].alias("scrub_phone_count"),
+        cols["scrub_count"].alias("scrub_count"),
+    )
+
+
+# ---------------------------------------------------------------- SQL mirrors
+def _lows_sql(text: str = "text") -> str:
+    return (
+        f"list_transform(list_filter(regexp_split_to_array({text}, '[ \\t\\n\\r]+'), "
+        f"x -> x <> ''), x -> lower(x))"
+    )
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + s + "'" for s in items) + "]"
+
+
+def langid_heuristic_sql(table: str = "documents") -> str:
+    lows = _lows_sql()
+    score_exprs = {
+        lang: f"len(list_filter(lows, x -> list_contains({_sql_list(sw)}, x)))"
+        for lang, sw in config.STOPWORDS_BY_LANG.items()
+    }
+    sel = ",\n    ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_ORDER
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {lows} AS lows FROM {table}),
+s AS (SELECT doc_id, lang, {sel} FROM t),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, lang, {case} AS lang_pred, best AS best_hits FROM b
+"""

@@ -1,0 +1,203 @@
+"""DuckDB-dialect SQL generator for the native scoring semantics.
+
+Generates, from the SAME rule table as operators/rules.py, an ANSI-ish SQL
+query DuckDB can run on the raw parquet views — used by
+``__spark_entry__.oracle_sql()`` as the correctness oracle, and by the
+pytest parity suite. Every arithmetic step mirrors the Spark expression
+order and types so IEEE doubles are bit-identical across engines
+(SURVEY.md §4.3 #1-#2: HALF_EVEN via the floor-based tie formula,
+population-0 guard via coalesce/nullif).
+"""
+
+from __future__ import annotations
+
+from metadata_quality_stack_spark import config
+
+
+def _sql_str_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
+
+
+def _safe_div(num: str, den: str) -> str:
+    return f"coalesce(CAST({num} AS DOUBLE) / nullif(CAST({den} AS DOUBLE), 0.0), 0.0)"
+
+
+def _pct(cond: str) -> str:
+    return f"CASE WHEN {cond} THEN 1.0 ELSE 0.0 END"
+
+
+def bankers_int(x: str) -> str:
+    """HALF_EVEN round-to-int of a non-negative double — same floor-based
+    formula as operators.rules.half_even_int."""
+    return (
+        f"CASE WHEN ({x}) - floor({x}) = 0.5 "
+        f"THEN CAST(floor({x}) + (CAST(floor({x}) AS BIGINT) % 2) AS INTEGER) "
+        f"ELSE CAST(floor(({x}) + 0.5) AS INTEGER) END"
+    )
+
+
+TOKS = "list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+LINES = "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')"
+
+
+def feature_select() -> str:
+    """SELECT-list computing the raw features from ``toks``/``lines``/``text``."""
+    sw = _sql_str_list(config.STOPWORDS_EN)
+    lows = "list_transform(toks, x -> lower(x))"
+    sw_hits = f"list_filter({lows}, x -> list_contains({sw}, x))"
+    boiler = " OR ".join(
+        f"contains(lower(text), '{p}')" for p in config.BOILERPLATE_PHRASES
+    )
+    feats = {
+        "n_words": "len(toks)",
+        "n_chars_txt": "length(text)",
+        "n_lines": "len(lines)",
+        "sum_word_len": "coalesce(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0)",
+        "n_alpha": "length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))",
+        "n_digit": "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))",
+        "n_ws": "length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))",
+        "n_symbols": (
+            "(length(text) - length(regexp_replace(text, '[#]', '', 'g')))"
+            " + (length(text) - length(replace(text, '...', ''))) // 3"
+        ),
+        "n_distinct_lines": "len(list_distinct(lines))",
+        "n_distinct_words": f"len(list_distinct({lows}))",
+        "n_stopword_hits": f"len({sw_hits})",
+        "n_distinct_stopwords": f"len(list_distinct({sw_hits}))",
+        "n_terminal_punct_lines": (
+            "len(list_filter(lines, x -> substr(x, length(x), 1) IN "
+            "('.', '!', '?', '\"', '''')))"
+        ),
+        "n_ellipsis_lines": (
+            "len(list_filter(lines, x -> length(x) >= 3 AND "
+            "substr(x, length(x) - 2, 3) = '...'))"
+        ),
+        "n_bullet_lines": (
+            "len(list_filter(lines, x -> substr(x, 1, 1) IN ('-', '*', '•')))"
+        ),
+        "has_boilerplate": f"({boiler})",
+        "has_email": f"regexp_matches(text, '{config.PII_EMAIL}')",
+        "has_phone": f"regexp_matches(text, '{config.PII_PHONE}')",
+        "has_ip": f"regexp_matches(text, '{config.PII_IP}')",
+    }
+    return ",\n    ".join(f"{expr} AS {name}" for name, expr in feats.items())
+
+
+def native_pct_select(meta: dict[str, str | None]) -> str:
+    """SELECT-list of pct_<rule> columns from the feature columns.
+    ``meta`` maps 'lang'/'source'/'n_chars' to source column names or None."""
+    c = config
+    # nullif denominators mirror rules.native_rule_percentages exactly
+    wc = "nullif(CAST(n_words AS DOUBLE), 0.0)"
+    nch = "nullif(CAST(n_chars_txt AS DOUBLE), 0.0)"
+    mwl = f"CAST(sum_word_len AS DOUBLE) / {wc}"
+
+    def present(col: str | None) -> str:
+        if col is None:
+            return "1.0"
+        return _pct(f"{col} IS NOT NULL AND CAST({col} AS VARCHAR) <> ''")
+
+    pcts = {
+        "word_count": _pct(f"n_words >= {c.MIN_WORDS} AND n_words <= {c.MAX_WORDS}"),
+        "mean_word_length": _pct(
+            f"n_words > 0 AND {mwl} >= {c.MIN_MEAN_WORD_LEN} AND {mwl} <= {c.MAX_MEAN_WORD_LEN}"
+        ),
+        "alpha_ratio": _safe_div("n_alpha", "n_chars_txt"),
+        "line_uniqueness": _safe_div("n_distinct_lines", "n_lines"),
+        "terminal_punct": _safe_div("n_terminal_punct_lines", "n_lines"),
+        "ellipsis_free": _safe_div("n_lines - n_ellipsis_lines", "n_lines"),
+        "boilerplate_free": _pct("NOT has_boilerplate"),
+        "stopword_density": _pct(
+            f"n_words > 0 AND CAST(n_stopword_hits AS DOUBLE) / {wc} >= {c.MIN_STOPWORD_DENSITY}"
+        ),
+        "stopword_distinct": _pct(f"n_distinct_stopwords >= {c.MIN_DISTINCT_STOPWORDS}"),
+        "symbol_ratio": _pct(
+            f"n_words > 0 AND CAST(n_symbols AS DOUBLE) / {wc} <= {c.MAX_SYMBOL_WORD_RATIO}"
+        ),
+        "bullet_free": _safe_div("n_lines - n_bullet_lines", "n_lines"),
+        "word_diversity": _safe_div("n_distinct_words", "n_words"),
+        "digit_ratio": _pct(
+            f"n_chars_txt > 0 AND CAST(n_digit AS DOUBLE) / {nch} <= {c.MAX_DIGIT_RATIO}"
+        ),
+        "pii_email_free": _pct("NOT has_email"),
+        "pii_phone_free": _pct("NOT has_phone"),
+        "whitespace_ratio": _pct(
+            f"n_chars_txt > 0 AND CAST(n_ws AS DOUBLE) / {nch} <= {c.MAX_WHITESPACE_RATIO}"
+        ),
+        "pii_ip_free": _pct("NOT has_ip"),
+        "chars_consistent": (
+            "1.0" if meta.get("n_chars") is None else _pct(f"{meta['n_chars']} = n_chars_txt")
+        ),
+        "lang_present": present(meta.get("lang")),
+        "source_present": present(meta.get("source")),
+        "avg_line_len": _pct(
+            f"n_lines > 0 AND {nch} / nullif(CAST(n_lines AS DOUBLE), 0.0) <= {c.MAX_AVG_LINE_LEN}"
+        ),
+    }
+    return ",\n    ".join(f"{expr} AS pct_{name}" for name, expr in pcts.items())
+
+
+def score_select(profile: str = "webtext_native") -> str:
+    """SELECT-list turning pct_* into dimension/total/rating/keep columns —
+    same rule order and left-associated addition as rules.score_columns."""
+    rules = config.RULES_BY_PROFILE[profile]
+    dim_sum: dict[str, str] = {}
+    for r in rules:
+        term = f"pct_{r['id']} * {float(r['weight'])!r}"
+        dim_sum[r["dimension"]] = (
+            term if r["dimension"] not in dim_sum else dim_sum[r["dimension"]] + " + " + term
+        )
+    parts = []
+    for d in config.DIMENSIONS:
+        parts.append(f"{bankers_int(dim_sum.get(d, '0.0'))} AS {d}")
+    return ",\n    ".join(parts)
+
+
+def native_scoring_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    meta: dict[str, str | None] | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> str:
+    """Full per-document scoring query (native profile) in DuckDB SQL."""
+    if meta is None:
+        meta = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
+    t = config.RATING_THRESHOLDS
+    carry_cols = [id_col, *extra_cols]
+    carry = ", ".join(carry_cols)
+    meta_src = ", ".join(sorted({v for v in meta.values() if v} - set(carry_cols)))
+    meta_carry = f", {meta_src}" if meta_src else ""
+    total = " + ".join(config.DIMENSIONS)
+    profile_ids = {r["id"] for r in config.RULES_BY_PROFILE["webtext_native"]}
+    hard = [rid for rid in config.HARD_RULES if rid in profile_ids]
+    hard_carry = ", ".join(f"pct_{rid}" for rid in hard)
+    hard_cond = " AND ".join(f"pct_{rid} >= 0.5" for rid in hard) or "TRUE"
+    return f"""
+WITH tok AS (
+  SELECT {carry}{meta_carry}, text,
+    {TOKS} AS toks,
+    {LINES} AS lines
+  FROM {table}
+), feat AS (
+  SELECT {carry}{meta_carry},
+    {feature_select()}
+  FROM tok
+), pct AS (
+  SELECT {carry},
+    {native_pct_select(meta)}
+  FROM feat
+), dims AS (
+  SELECT {carry}, {hard_carry},
+    {score_select()}
+  FROM pct
+)
+SELECT {carry},
+  findability, accessibility, interoperability, reusability, contextuality,
+  CAST({total} AS INTEGER) AS total_score,
+  CASE WHEN {total} >= {t['excellent']} THEN 'Excellent'
+       WHEN {total} >= {t['good']} THEN 'Good'
+       WHEN {total} >= {t['sufficient']} THEN 'Sufficient'
+       ELSE 'Bad' END AS rating,
+  ({total} >= {t['sufficient']} AND {hard_cond}) AS keep
+FROM dims
+"""
