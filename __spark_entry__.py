@@ -211,21 +211,19 @@ def oracle_sql() -> dict[str, str]:
     sw = "[" + ", ".join(f"'{s}'" for s in config.STOPWORDS_EN) + "]"
     o["token_stats"] = f"""
 WITH t AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '') AS toks
+  SELECT doc_id, {sqlgen.TOKS} AS toks, {sqlgen.LOWS} AS lows,
+    length(text) - (length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')))
+      AS sum_len
   FROM documents
 ), f AS (
-  SELECT doc_id, len(toks) AS n_words,
-    len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct_words,
-    coalesce(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS sum_len,
-    len(list_filter(list_transform(toks, x -> lower(x)),
-        x -> list_contains({sw}, x))) AS sw_hits
+  SELECT doc_id, len(toks) AS n_words, len(lows) AS n_distinct_words,
+    sum_len, len(list_intersect(lows, {sw})) AS n_stop_distinct
   FROM t
 )
 SELECT doc_id, n_words, n_distinct_words,
   round(coalesce(CAST(sum_len AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0), 0.0), 6)
     AS mean_word_len,
-  round(coalesce(CAST(sw_hits AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0), 0.0), 6)
+  round(coalesce(CAST(n_stop_distinct AS DOUBLE) / nullif(CAST(n_distinct_words AS DOUBLE), 0.0), 0.0), 6)
     AS stopword_density
 FROM f
 """
@@ -255,14 +253,16 @@ FROM f
     )
     sh = dedup.shingles_sql()
     mh_cols = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{k}:' || s))) AS mh{k}"
+        f"list_min(list_transform(shingles, s -> "
+        f"({dedup.MINHASH_A[k]} * ('0x' || substr(md5(s), 1, 7))::BIGINT "
+        f"+ {dedup.MINHASH_B[k]}) % {dedup.MINHASH_M})) AS mh{k}"
         for k in range(dedup.N_MINHASH)
     )
     rpb = dedup.N_MINHASH // dedup.N_BANDS
     band_selects = []
     for b in range(dedup.N_BANDS):
         parts = " || '|' || ".join(
-            f"coalesce(mh{b * rpb + i}, '')" for i in range(rpb)
+            f"coalesce(CAST(mh{b * rpb + i} AS VARCHAR), '')" for i in range(rpb)
         )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig"

@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The flagship measurement is the full quality pipeline (langid +
+perplexity UDFs, native rules, scrub, rollup) over a ~100k-doc
+Common-Crawl-style corpus (deterministic generator, replicated in-Spark);
+`docs_per_sec` is the north-rule throughput number. Results are
+materialized through the `noop` sink so Catalyst cannot prune the UDF
+columns away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark import get_spark
+from metadata_quality_stack_spark.operators import analytics, dedup, similarity
+from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+from metadata_quality_stack_spark.sources.pages import generate_pages
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PIPELINE_BASE_ROWS = int(os.environ.get("BENCH_BASE_ROWS", "4000"))
+PIPELINE_REPLICAS = int(os.environ.get("BENCH_REPLICAS", "25"))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_pages_corpus(spark):
+    """Deterministic ~(base x replicas)-doc corpus, unique urls, built once."""
+    pdf = generate_pages(PIPELINE_BASE_ROWS, seed=7).drop(columns=["row_class"])
+    base = spark.createDataFrame(pdf)
+    reps = spark.range(PIPELINE_REPLICAS).select(F.col("id").alias("replica"))
+    return (
+        base.crossJoin(reps)
+        .withColumn("url", F.concat_ws("/", "url", F.col("replica").cast("string")))
+        .drop("replica")
+        .repartition(CPUS * 2)
+    )
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")  # noqa: E731
+
+    timings: dict[str, float] = {}
+    n_docs = PIPELINE_BASE_ROWS * PIPELINE_REPLICAS
+
+    # flagship: full pipeline over the pages corpus
+    corpus = build_pages_corpus(spark)
+    corpus.write.mode("overwrite").parquet("/tmp/bench_pages")
+    corpus = spark.read.parquet("/tmp/bench_pages")
+    # warm the executor python workers (package import + model build happen
+    # once per worker in production; don't charge them to throughput)
+    _noop(
+        quality_pipeline(
+            corpus.sample(fraction=0.02, seed=1), id_cols=("url",), lang_col="lang"
+        )
+    )
+    def bench(name, df_fn, runs: int = 2):
+        # best-of-N: this sandbox sees host CPU-steal storms; min is the
+        # honest engine number
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            _noop(df_fn())
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+
+    bench(
+        "quality_pipeline_full",
+        lambda: quality_pipeline(corpus, id_cols=("url",), lang_col="lang"),
+    )
+
+    docs = t("documents")
+    bench("quality_scores_native", lambda: analytics.scored_documents(docs))
+    bench("exact_dedup", lambda: dedup.exact_dedup_groups(docs))
+    bench("minhash_bands", lambda: dedup.minhash_bands(docs))
+    bench("simhash", lambda: dedup.simhash(docs))
+    bench(
+        "tpch_q1",
+        lambda: t("lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.count("*").alias("n"),
+        ),
+    )
+    bench("latest_event_per_user", lambda: analytics.latest_event_per_user(t("events")))
+    bench("embedding_topk", lambda: similarity.brute_force_topk(t("embeddings")))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["quality_pipeline_full"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+                "pipeline_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

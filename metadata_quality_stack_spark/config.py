@@ -38,7 +38,7 @@ MIN_DISTINCT_STOPWORDS = 2
 MAX_DIGIT_RATIO = 0.20
 MAX_WHITESPACE_RATIO = 0.40
 MAX_AVG_LINE_LEN = 2_000
-PERPLEXITY_MAX = 2_000.0
+PERPLEXITY_MAX = 20_000.0  # calibrated: clean seed-vocab prose ~5-10k, gibberish ~300k
 LANGID_MIN_CONF = 0.20
 
 # --------------------------------------------------------------------------

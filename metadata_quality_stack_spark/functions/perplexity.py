@@ -1,0 +1,115 @@
+"""KenLM-style hashed n-gram perplexity scorer as a pandas UDF.
+
+A hashed word unigram+bigram log-probability table trained
+deterministically at import from the langid seed corpus (all languages,
+so clean prose in any supported language scores low). Interpolated
+estimate per token:
+
+    p(w_i | w_{i-1}) = 0.70 * p_bigram + 0.25 * p_unigram + 0.05 * p_floor
+
+    ppl(doc) = exp( mean_i( -ln p ) )        (empty doc -> PPL_EMPTY)
+
+Token hashing is zlib.crc32 (C speed, version-stable); the probability
+math is vectorized numpy. Token-salad gibberish hits the floor
+probability on most tokens and its perplexity explodes — the
+'drop: perplexity' row class. Same iterator-UDF / shared-scorer
+structure as functions/langid.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+from zlib import crc32
+
+import numpy as np
+import pandas as pd
+
+from metadata_quality_stack_spark.functions.langid import SEED_TEXT
+
+N_BUCKETS = 1 << 18
+PPL_EMPTY = 1.0e9
+P_FLOOR = 1.0 / (1 << 20)
+W_BI, W_UNI, W_FLOOR = 0.70, 0.25, 0.05
+MAX_TOKENS = 2000  # cap scoring work per doc
+
+_EDGE_PUNCT = ".,!?;:\"'()[]"
+
+
+def _tokenize(text: str) -> list[str]:
+    toks = (t.strip(_EDGE_PUNCT) for t in str(text).lower().split())
+    return [t for t in toks if t]
+
+
+def _uni_idx(toks: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (crc32(t.encode("utf-8")) % N_BUCKETS for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
+
+
+def _bi_idx(toks: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (
+            crc32((a + "\x1f" + b).encode("utf-8")) % N_BUCKETS
+            for a, b in zip(toks, toks[1:])
+        ),
+        dtype=np.int64,
+        count=max(len(toks) - 1, 0),
+    )
+
+
+class PerplexityModel:
+    def __init__(self) -> None:
+        uni = np.zeros(N_BUCKETS, dtype=np.float64)
+        bi = np.zeros(N_BUCKETS, dtype=np.float64)
+        n_uni = 0
+        n_bi = 0
+        for text in SEED_TEXT.values():
+            toks = _tokenize(text)
+            np.add.at(uni, _uni_idx(toks), 1.0)
+            np.add.at(bi, _bi_idx(toks), 1.0)
+            n_uni += len(toks)
+            n_bi += max(len(toks) - 1, 0)
+        alpha = 0.01
+        self.p_uni = (uni + alpha) / (n_uni + alpha * N_BUCKETS)
+        self.p_bi = (bi + alpha) / (n_bi + alpha * N_BUCKETS)
+
+    def perplexity(self, text: str | None) -> float:
+        toks = _tokenize(text)[:MAX_TOKENS] if text else []
+        if not toks:
+            return PPL_EMPTY
+        pu = self.p_uni[_uni_idx(toks)]
+        pb = np.empty(len(toks), dtype=np.float64)
+        pb[0] = pu[0]  # first token backs off to its unigram
+        if len(toks) > 1:
+            pb[1:] = self.p_bi[_bi_idx(toks)]
+        p = W_BI * pb + W_UNI * pu + W_FLOOR * P_FLOOR
+        logs = float(np.sum(-np.log(p)))
+        return float(round(math.exp(logs / len(toks)), 4))
+
+    def score_batch(self, texts: pd.Series) -> pd.Series:
+        return pd.Series([self.perplexity(t) for t in texts], dtype="float64")
+
+
+_MODEL: PerplexityModel | None = None
+
+
+def get_model() -> PerplexityModel:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = PerplexityModel()
+    return _MODEL
+
+
+def perplexity_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = get_model()
+        for texts in it:
+            yield model.score_batch(texts)
+
+    return _udf

@@ -1,14 +1,21 @@
 """Native Column expressions for per-document text features.
 
-Every feature here is a pure JVM-side expression (whole-stage codegen,
-no Python in the hot path) — the Spark re-expression of the reference's
-per-record checker functions (validators.py:221-646). Tokenization is
-materialized ONCE and shared by every rule (vs the reference's
-one-graph-scan-per-metric loop, validators.py:906-972).
+Every feature is a pure JVM-side expression — and deliberately free of
+higher-order functions (transform/filter/aggregate lambdas) on the hot
+path: Spark's whole-stage-codegen subexpression elimination does NOT
+cover lambda expressions, so a 21-rule projection that reuses an HOF
+tokenization re-executes it per reference (measured: 990 split() calls
+per row before this rewrite). Instead:
 
-Regex subset: Java / RE2 / Python common dialect only — explicit char
-classes instead of \\s (RE2's \\s lacks \\x0B), no lookaround — so the
-DuckDB oracle (oracle/sqlgen.py) can evaluate identical semantics.
+* token counts   -> split() on edge-trimmed text (plain function, CSE-able)
+* sum word len   -> arithmetic: length(text) - whitespace count
+* line metrics   -> single-pass multiline regex counts ('(?m)...' — the
+                    Java/RE2/Python common subset; \\n line endings assumed)
+* stopword sets  -> array_intersect on array_distinct (no lambdas)
+
+This is the Spark re-expression of the reference's per-record checkers
+(validators.py:221-646), one shared pass instead of
+one-graph-scan-per-metric (validators.py:906-972).
 """
 
 from __future__ import annotations
@@ -19,17 +26,19 @@ from pyspark.sql import functions as F
 from metadata_quality_stack_spark import config
 
 WS_CLASS = "[ \\t\\n\\r]"  # explicit whitespace class (dialect-stable)
+EDGE_WS = "^" + WS_CLASS + "+|" + WS_CLASS + "+$"
 
 
-def tokens(text: Column) -> Column:
-    """Non-empty whitespace-separated tokens."""
-    return F.filter(F.split(text, WS_CLASS + "+"), lambda x: x != F.lit(""))
+def edge_trimmed(text: Column) -> Column:
+    return F.regexp_replace(text, EDGE_WS, "")
 
 
-def nonempty_lines(text: Column) -> Column:
-    """Lines (split on \\n) with non-whitespace content, trimmed at both ends."""
-    trimmed = F.transform(F.split(text, "\\n"), lambda x: F.trim(x))
-    return F.filter(trimmed, lambda x: x != F.lit(""))
+def token_array(text: Column) -> Column:
+    """Non-empty whitespace-separated tokens (empty array for blank text)."""
+    t = edge_trimmed(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, WS_CLASS + "+")
+    )
 
 
 def chars_matching(text: Column, cls: str) -> Column:
@@ -50,43 +59,46 @@ def safe_div(num: Column, den: Column) -> Column:
     )
 
 
+# multiline regex line probes (Java/RE2/Python-parity; '\n' line endings)
+RE_NONEMPTY_LINE = "(?m)^ *[^ \\n]"
+RE_TERMINAL_PUNCT = "(?m)[.!?\"'] *$"
+RE_ELLIPSIS_EOL = "(?m)\\.\\.\\. *$"
+RE_BULLET_BOL = "(?m)^ *[-*•]"
+
+
 def feature_columns(text: Column) -> dict[str, Column]:
-    """All raw per-doc features; compose into one select so Catalyst
-    CSE/CollapseProject shares the tokenization across rules."""
-    toks = tokens(text)
-    lows = F.transform(toks, lambda x: F.lower(x))
-    lines = nonempty_lines(text)
-    sw_hits = F.filter(lows, lambda x: x.isin(*config.STOPWORDS_EN))
+    """All raw per-doc features; every expression is HOF-free so codegen
+    CSE shares the repeated subtrees across the 21 rule expressions."""
+    toks = token_array(text)
+    lows = F.array_distinct(token_array(F.lower(text)))
+    raw_lines = F.split(text, "\\n", -1)
+    sw = F.array(*[F.lit(s) for s in config.STOPWORDS_EN])
     low_text = F.lower(text)
+
+    boiler = F.lit(False)
+    for p in config.BOILERPLATE_PHRASES:
+        boiler = boiler | F.contains(low_text, F.lit(p))
 
     return {
         "n_words": F.size(toks),
         "n_chars_txt": F.length(text),
-        "n_lines": F.size(lines),
-        "sum_word_len": F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ),
+        "n_lines": F.regexp_count(text, F.lit(RE_NONEMPTY_LINE)),
+        # sum of token lengths == count of non-whitespace chars
+        "sum_word_len": F.length(text) - chars_matching(text, WS_CLASS),
         "n_alpha": chars_matching(text, "[A-Za-z]"),
         "n_digit": chars_matching(text, "[0-9]"),
         "n_ws": chars_matching(text, WS_CLASS),
         "n_symbols": (
             chars_matching(text, "[#]") + substr_occurrences(text, "...")
         ).cast("long"),
-        "n_distinct_lines": F.size(F.array_distinct(lines)),
-        "n_distinct_words": F.size(F.array_distinct(lows)),
-        "n_stopword_hits": F.size(sw_hits),
-        "n_distinct_stopwords": F.size(F.array_distinct(sw_hits)),
-        "n_terminal_punct_lines": F.size(
-            F.filter(lines, lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"', "'"))
-        ),
-        "n_ellipsis_lines": F.size(F.filter(lines, lambda x: x.endswith("..."))),
-        "n_bullet_lines": F.size(
-            F.filter(lines, lambda x: F.substring(x, 1, 1).isin("-", "*", "•"))
-        ),
-        "has_boilerplate": F.exists(
-            F.array(*[F.lit(p) for p in config.BOILERPLATE_PHRASES]),
-            lambda p: F.contains(low_text, p),
-        ),
+        "n_raw_lines": F.size(raw_lines),
+        "n_distinct_raw_lines": F.size(F.array_distinct(raw_lines)),
+        "n_distinct_words": F.size(lows),
+        "n_stop_distinct": F.size(F.array_intersect(lows, sw)),
+        "n_terminal_punct_lines": F.regexp_count(text, F.lit(RE_TERMINAL_PUNCT)),
+        "n_ellipsis_lines": F.regexp_count(text, F.lit(RE_ELLIPSIS_EOL)),
+        "n_bullet_lines": F.regexp_count(text, F.lit(RE_BULLET_BOL)),
+        "has_boilerplate": boiler,
         "has_email": text.rlike(config.PII_EMAIL),
         "has_phone": text.rlike(config.PII_PHONE),
         "has_ip": text.rlike(config.PII_IP),

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from metadata_quality_stack_spark.functions.text import tokens
+from metadata_quality_stack_spark.functions.text import token_array as tokens
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -60,18 +60,64 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+# universal-hash family for minhash: base(s) = first 28 bits of md5(s),
+# h_k(s) = (A_k * base + B_k) mod M  — one md5 per shingle, k cheap affines.
+# A_k < 2^31 and base < 2^28 keep products < 2^60 (int64-safe in DuckDB too).
+MINHASH_M = (1 << 31) - 1
+MINHASH_A = [1099087573, 1299709, 15485863, 32452843,
+             49979687, 67867967, 86028121, 104395301]
+MINHASH_B = [(k * 2654435761) % MINHASH_M for k in range(8)]
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """MinHash over 3-word shingles; hash_k(s) = md5('k:' || s), signature
-    element = lexicographic min (md5 hex is uniform, string-min == num-min)."""
+    """MinHash over 3-word shingles with a universal affine hash family
+    over a 28-bit md5-derived base (numeric min; empty shingles -> NULL).
+
+    Single left-fold over the shingle array computing all k mins at once —
+    the shingle array and the md5 (the expensive parts) are evaluated ONCE
+    per shingle: the base is bound once via a singleton-transform lambda,
+    then the k affine variants are integer ops."""
     sh = _shingles(F.col("text"))
+    sentinel = MINHASH_M  # h_k in [0, M-1], so M never occurs
+    init = F.array(*[F.lit(sentinel).cast("long") for _ in range(n_hashes)])
 
-    def mh(k: int):
-        prefix = f"{k}:"
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8")))
-        ).alias(f"mh{k}")
+    def all_hashes(s):
+        base = F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 7), 16, 10).cast(
+            "long"
+        )
+        # bind base ONCE (lambda var), then derive the k affine hashes
+        return F.element_at(
+            F.transform(
+                F.array(base),
+                lambda b: F.array(
+                    *[
+                        (F.lit(MINHASH_A[k]) * b + F.lit(MINHASH_B[k]))
+                        % F.lit(MINHASH_M)
+                        for k in range(n_hashes)
+                    ]
+                ),
+            ),
+            1,
+        )
 
-    return docs.select("doc_id", *[mh(k) for k in range(n_hashes)])
+    folded = F.aggregate(
+        sh, init, lambda acc, s: F.zip_with(acc, all_hashes(s), lambda a, b: F.least(a, b))
+    )
+    # Exchange barrier: the fold must evaluate ONCE per row. Downstream
+    # projections reference the signature 8+ times, and higher-order
+    # expressions are excluded from Spark's subexpression elimination —
+    # without the barrier CollapseProject would inline (and re-execute)
+    # the whole shingle+md5 fold per reference. Shuffling the ~256-byte
+    # signatures is the at-scale design anyway: signatures move, raw
+    # shingles never do.
+    sig = docs.select("doc_id", folded.alias("sig")).repartition("doc_id")
+    cols = [
+        F.nullif(F.element_at(F.col("sig"), k + 1), F.lit(sentinel).cast("long")).alias(
+            f"mh{k}"
+        )
+        for k in range(n_hashes)
+    ]
+    return sig.select("doc_id", *cols)
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
@@ -82,7 +128,7 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     band_cols = []
     for b in range(N_BANDS):
         parts = [
-            F.coalesce(F.col(f"mh{b * rows_per_band + i}"), F.lit(""))
+            F.coalesce(F.col(f"mh{b * rows_per_band + i}").cast("string"), F.lit(""))
             for i in range(rows_per_band)
         ]
         band_cols.append(
@@ -165,12 +211,21 @@ def poly_hash_sql(expr: str) -> str:
 
 def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     """SimHash over lowercased tokens with the seeded polynomial hash;
-    bit j set when sum over tokens of (+1/-1 by hash bit j) > 0."""
+    bit j set when sum over tokens of (+1/-1 by hash bit j) > 0.
+
+    The token-hash array is materialized in a staged projection (see
+    rules.stage) so the 16 per-bit vote folds iterate an attribute array
+    instead of re-hashing every token 16x."""
+    from metadata_quality_stack_spark.operators.rules import stage
+
     lows = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
-    hashes = F.transform(lows, lambda x: _poly_hash(x))
+    docs = stage(
+        docs, ["doc_id"], {"hashes": F.transform(lows, lambda x: _poly_hash(x))}
+    )
+
     def vote(j: int):
         return F.aggregate(
-            hashes,
+            F.col("hashes"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(

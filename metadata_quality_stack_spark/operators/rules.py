@@ -68,16 +68,20 @@ def native_rule_percentages(
             & (mwl <= c.MAX_MEAN_WORD_LEN)
         ),
         "alpha_ratio": safe_div(feats["n_alpha"], feats["n_chars_txt"]),
-        "line_uniqueness": safe_div(feats["n_distinct_lines"], feats["n_lines"]),
+        "line_uniqueness": safe_div(feats["n_distinct_raw_lines"], feats["n_raw_lines"]),
         "terminal_punct": safe_div(feats["n_terminal_punct_lines"], feats["n_lines"]),
         "ellipsis_free": safe_div(feats["n_lines"] - feats["n_ellipsis_lines"], feats["n_lines"]),
         "boilerplate_free": _as_pct(~feats["has_boilerplate"]),
         "stopword_density": _as_pct(
-            (feats["n_words"] > 0)
-            & (feats["n_stopword_hits"].cast("double") / wc >= c.MIN_STOPWORD_DENSITY)
+            (feats["n_distinct_words"] > 0)
+            & (
+                feats["n_stop_distinct"].cast("double")
+                / F.nullif(feats["n_distinct_words"].cast("double"), F.lit(0.0))
+                >= c.MIN_STOPWORD_DENSITY
+            )
         ),
         "stopword_distinct": _as_pct(
-            feats["n_distinct_stopwords"] >= c.MIN_DISTINCT_STOPWORDS
+            feats["n_stop_distinct"] >= c.MIN_DISTINCT_STOPWORDS
         ),
         "symbol_ratio": _as_pct(
             (feats["n_words"] > 0)
@@ -180,28 +184,56 @@ def drop_reasons(pcts: dict[str, Column], profile: str) -> Column:
     return F.array_compact(F.array(*pairs))
 
 
-def apply_quality(
-    df: DataFrame,
-    text_col: str = "text",
-    meta_cols: dict[str, str] | None = None,
-    profile: str = "webtext_native",
-    keep_pcts: bool = False,
-) -> DataFrame:
-    """Attach native-rule scoring columns to ``df`` in ONE projection.
+CSE_GUARD = "_cse_guard"
 
-    For the full 'webtext' profile (model rules included) use
-    plans.pipeline.quality_pipeline, which wires the pandas-UDF scorers
-    in front of this rollup.
+
+def stage(df: DataFrame, carry: list[str], cols: dict[str, Column]) -> DataFrame:
+    """Materialize ``cols`` as a separate projection that CollapseProject
+    will NOT inline into consumers (non-deterministic guard column).
+
+    Why: Spark's whole-stage-codegen subexpression elimination skips
+    expressions under conditional branches (and all lambda expressions),
+    so a collapsed mega-projection re-evaluates shared feature trees per
+    reference (measured 3-5x slowdown). Staged projections chain inside
+    ONE codegen stage — intermediates become local variables, computed
+    once per row, with no shuffle and no caching.
     """
-    meta_cols = meta_cols or {}
+    return df.select(
+        *[F.col(c) for c in carry],
+        *[v.alias(k) for k, v in cols.items()],
+        F.rand(42).alias(CSE_GUARD),
+    )
+
+
+def scoring_stages(
+    df: DataFrame,
+    text_col: str,
+    meta_cols: dict[str, str],
+    profile: str,
+    extra_pcts=None,
+) -> DataFrame:
+    """feats -> pcts staged projections; returns df carrying pct_<rule>
+    columns for every rule of ``profile`` (model pcts via ``extra_pcts``:
+    fn(meta) -> dict of Columns evaluated against the feats stage)."""
+    carry = list(df.columns)
     meta = {k: (F.col(v) if v else None) for k, v in meta_cols.items()}
-    feats = feature_columns(F.col(text_col))
-    pcts = native_rule_percentages(feats, meta)
-    if profile != "webtext_native":
-        raise ValueError("apply_quality only compiles native profiles; "
-                         "use plans.pipeline.quality_pipeline for model rules")
+    staged = stage(df, carry, feature_columns(F.col(text_col)))
+    pcts = native_rule_percentages(
+        {k: F.col(k) for k in feature_columns(F.col(text_col))}, meta
+    )
+    if extra_pcts:
+        pcts.update(extra_pcts(meta))
+    rules = config.RULES_BY_PROFILE[profile]
+    return stage(staged, carry, {f"pct_{r['id']}": pcts[r["id"]] for r in rules})
+
+
+def final_scores(
+    df: DataFrame, carry: list[str], profile: str, keep_pcts: bool = False
+) -> DataFrame:
+    """Rollup projection over materialized pct_* attribute columns."""
+    pcts = {r["id"]: F.col(f"pct_{r['id']}") for r in config.RULES_BY_PROFILE[profile]}
     scores = score_columns(pcts, profile)
-    cols = [df["*"]]
+    cols = [F.col(c) for c in carry]
     if keep_pcts:
         cols += [pcts[r["id"]].alias(f"pct_{r['id']}") for r in config.RULES_BY_PROFILE[profile]]
     cols += [scores[d].alias(d) for d in config.DIMENSIONS]
@@ -212,3 +244,25 @@ def apply_quality(
         drop_reasons(pcts, profile).alias("drop_reasons"),
     ]
     return df.select(*cols)
+
+
+def apply_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    meta_cols: dict[str, str] | None = None,
+    profile: str = "webtext_native",
+    keep_pcts: bool = False,
+) -> DataFrame:
+    """Attach native-rule scoring columns to ``df`` (staged projections,
+    one codegen stage, map-only).
+
+    For the full 'webtext' profile (model rules included) use
+    plans.pipeline.quality_pipeline, which wires the pandas-UDF scorers
+    in front of this rollup.
+    """
+    if profile != "webtext_native":
+        raise ValueError("apply_quality only compiles native profiles; "
+                         "use plans.pipeline.quality_pipeline for model rules")
+    carry = list(df.columns)
+    with_pcts = scoring_stages(df, text_col, meta_cols or {}, profile)
+    return final_scores(with_pcts, carry, profile, keep_pcts=keep_pcts)

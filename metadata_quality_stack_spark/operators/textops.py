@@ -14,23 +14,30 @@ from pyspark.sql import functions as F
 
 from metadata_quality_stack_spark import config
 from metadata_quality_stack_spark.functions.scrub import scrub_columns
-from metadata_quality_stack_spark.functions.text import safe_div, tokens
+from metadata_quality_stack_spark.functions.text import (
+    chars_matching,
+    safe_div,
+    token_array,
+)
+from metadata_quality_stack_spark.functions.text import WS_CLASS
 
 LANG_ORDER = list(config.STOPWORDS_BY_LANG)
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
-    toks = tokens(F.col("text"))
-    lows = F.transform(toks, lambda x: F.lower(x))
+    text = F.col("text")
+    toks = token_array(text)
+    lows = F.array_distinct(token_array(F.lower(text)))
     n = F.size(toks)
-    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    sum_len = F.length(text) - chars_matching(text, WS_CLASS)
+    sw = F.array(*[F.lit(s) for s in config.STOPWORDS_EN])
     return docs.select(
         "doc_id",
         n.alias("n_words"),
-        F.size(F.array_distinct(lows)).alias("n_distinct_words"),
+        F.size(lows).alias("n_distinct_words"),
         F.round(safe_div(sum_len, n), 6).alias("mean_word_len"),
         F.round(
-            safe_div(F.size(F.filter(lows, lambda x: x.isin(*config.STOPWORDS_EN))), n), 6
+            safe_div(F.size(F.array_intersect(lows, sw)), F.size(lows)), 6
         ).alias("stopword_density"),
     )
 
@@ -38,7 +45,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
 def langid_heuristic(docs: DataFrame) -> DataFrame:
     """Stopword-vote language-ID: hits per language set, argmax with
     first-in-LANG_ORDER tiebreak (matches langid_heuristic_sql)."""
-    lows = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+    lows = F.transform(token_array(F.col("text")), lambda x: F.lower(x))
 
     def hits(sw: list[str]):
         return F.size(F.filter(lows, lambda x: x.isin(*sw)))

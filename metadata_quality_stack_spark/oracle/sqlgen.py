@@ -36,23 +36,39 @@ def bankers_int(x: str) -> str:
     )
 
 
-TOKS = "list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')"
-LINES = "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')"
+# edge-trimmed text + token arrays (mirrors functions.text.token_array)
+TRIMMED = "regexp_replace(text, '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g')"
+TRIMMED_LOW = "regexp_replace(lower(text), '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g')"
+TOKS = (
+    f"CASE WHEN length({TRIMMED}) = 0 THEN [] "
+    f"ELSE string_split_regex({TRIMMED}, '[ \\t\\n\\r]+') END"
+)
+LOWS = (
+    f"CASE WHEN length({TRIMMED_LOW}) = 0 THEN [] "
+    f"ELSE list_distinct(string_split_regex({TRIMMED_LOW}, '[ \\t\\n\\r]+')) END"
+)
+
+# multiline regex line probes — identical patterns to functions.text
+RE_NONEMPTY_LINE = "(?m)^ *[^ \\n]"
+RE_TERMINAL_PUNCT = "(?m)[.!?\"''] *$"  # '' = escaped quote in SQL literal
+RE_ELLIPSIS_EOL = "(?m)\\.\\.\\. *$"
+RE_BULLET_BOL = "(?m)^ *[-*•]"
 
 
 def feature_select() -> str:
-    """SELECT-list computing the raw features from ``toks``/``lines``/``text``."""
+    """SELECT-list computing the raw features from ``toks``/``lows``/``text``."""
     sw = _sql_str_list(config.STOPWORDS_EN)
-    lows = "list_transform(toks, x -> lower(x))"
-    sw_hits = f"list_filter({lows}, x -> list_contains({sw}, x))"
     boiler = " OR ".join(
         f"contains(lower(text), '{p}')" for p in config.BOILERPLATE_PHRASES
     )
     feats = {
         "n_words": "len(toks)",
         "n_chars_txt": "length(text)",
-        "n_lines": "len(lines)",
-        "sum_word_len": "coalesce(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0)",
+        "n_lines": f"len(regexp_extract_all(text, '{RE_NONEMPTY_LINE}'))",
+        "sum_word_len": (
+            "length(text) - (length(text) - "
+            "length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')))"
+        ),
         "n_alpha": "length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))",
         "n_digit": "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))",
         "n_ws": "length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))",
@@ -60,21 +76,13 @@ def feature_select() -> str:
             "(length(text) - length(regexp_replace(text, '[#]', '', 'g')))"
             " + (length(text) - length(replace(text, '...', ''))) // 3"
         ),
-        "n_distinct_lines": "len(list_distinct(lines))",
-        "n_distinct_words": f"len(list_distinct({lows}))",
-        "n_stopword_hits": f"len({sw_hits})",
-        "n_distinct_stopwords": f"len(list_distinct({sw_hits}))",
-        "n_terminal_punct_lines": (
-            "len(list_filter(lines, x -> substr(x, length(x), 1) IN "
-            "('.', '!', '?', '\"', '''')))"
-        ),
-        "n_ellipsis_lines": (
-            "len(list_filter(lines, x -> length(x) >= 3 AND "
-            "substr(x, length(x) - 2, 3) = '...'))"
-        ),
-        "n_bullet_lines": (
-            "len(list_filter(lines, x -> substr(x, 1, 1) IN ('-', '*', '•')))"
-        ),
+        "n_raw_lines": "len(string_split(text, chr(10)))",
+        "n_distinct_raw_lines": "len(list_distinct(string_split(text, chr(10))))",
+        "n_distinct_words": "len(lows)",
+        "n_stop_distinct": f"len(list_intersect(lows, {sw}))",
+        "n_terminal_punct_lines": f"len(regexp_extract_all(text, '{RE_TERMINAL_PUNCT}'))",
+        "n_ellipsis_lines": f"len(regexp_extract_all(text, '{RE_ELLIPSIS_EOL}'))",
+        "n_bullet_lines": f"len(regexp_extract_all(text, '{RE_BULLET_BOL}'))",
         "has_boilerplate": f"({boiler})",
         "has_email": f"regexp_matches(text, '{config.PII_EMAIL}')",
         "has_phone": f"regexp_matches(text, '{config.PII_PHONE}')",
@@ -103,14 +111,15 @@ def native_pct_select(meta: dict[str, str | None]) -> str:
             f"n_words > 0 AND {mwl} >= {c.MIN_MEAN_WORD_LEN} AND {mwl} <= {c.MAX_MEAN_WORD_LEN}"
         ),
         "alpha_ratio": _safe_div("n_alpha", "n_chars_txt"),
-        "line_uniqueness": _safe_div("n_distinct_lines", "n_lines"),
+        "line_uniqueness": _safe_div("n_distinct_raw_lines", "n_raw_lines"),
         "terminal_punct": _safe_div("n_terminal_punct_lines", "n_lines"),
         "ellipsis_free": _safe_div("n_lines - n_ellipsis_lines", "n_lines"),
         "boilerplate_free": _pct("NOT has_boilerplate"),
         "stopword_density": _pct(
-            f"n_words > 0 AND CAST(n_stopword_hits AS DOUBLE) / {wc} >= {c.MIN_STOPWORD_DENSITY}"
+            "n_distinct_words > 0 AND CAST(n_stop_distinct AS DOUBLE) / "
+            f"nullif(CAST(n_distinct_words AS DOUBLE), 0.0) >= {c.MIN_STOPWORD_DENSITY}"
         ),
-        "stopword_distinct": _pct(f"n_distinct_stopwords >= {c.MIN_DISTINCT_STOPWORDS}"),
+        "stopword_distinct": _pct(f"n_stop_distinct >= {c.MIN_DISTINCT_STOPWORDS}"),
         "symbol_ratio": _pct(
             f"n_words > 0 AND CAST(n_symbols AS DOUBLE) / {wc} <= {c.MAX_SYMBOL_WORD_RATIO}"
         ),
@@ -176,7 +185,7 @@ def native_scoring_sql(
 WITH tok AS (
   SELECT {carry}{meta_carry}, text,
     {TOKS} AS toks,
-    {LINES} AS lines
+    {LOWS} AS lows
   FROM {table}
 ), feat AS (
   SELECT {carry}{meta_carry},

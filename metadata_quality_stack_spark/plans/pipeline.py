@@ -1,0 +1,118 @@
+"""The full quality-filter pipeline (north rule §3.4 target lifecycle):
+
+    read pages -> PII scrub -> model scorers (langid, perplexity UDFs)
+    -> native heuristic rules (one projection) -> weighted rollup
+    -> rating -> keep/drop + drop_reasons -> results + per-partition metrics
+
+Plan shape at 100 TB: the whole per-document stage is map-only (scan ->
+project -> two Arrow UDF stages -> project); zero shuffles until the
+metrics sidecar groupBys. Filters on e.g. ``lang`` push down to the
+parquet/Iceberg scan; the ``html`` column is never read unless text
+extraction is requested (column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark import config
+from metadata_quality_stack_spark.functions.langid import langid_udf
+from metadata_quality_stack_spark.functions.perplexity import perplexity_udf
+from metadata_quality_stack_spark.functions.scrub import scrub_columns
+from metadata_quality_stack_spark.operators.rules import (
+    final_scores,
+    model_rule_percentages,
+    scoring_stages,
+)
+
+
+def quality_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("url",),
+    lang_col: str | None = "lang",
+    source_col: str | None = None,
+    n_chars_col: str | None = None,
+    profile: str = "webtext",
+    include_text: bool = True,
+) -> DataFrame:
+    """Score + scrub every document. Returns one row per input row with:
+    id cols, scrubbed_text (+scrub counts), dimension scores, total_score,
+    rating, keep, drop_reasons, lang_pred, lang_conf, ppl."""
+    text = F.col(text_col)
+
+    # Stage 1 — model scorers (the only Python in the plan; Arrow-batched,
+    # iterator-form so weights build once per worker). The struct UDF is
+    # materialized once then field-extracted, so it executes once per row.
+    df1 = (
+        df.withColumn("_lid", langid_udf()(text))
+        .withColumn("ppl", perplexity_udf()(text))
+        .withColumn("lang_pred", F.col("_lid.lang_pred"))
+        .withColumn("lang_conf", F.col("_lid.lang_conf"))
+        .drop("_lid")
+        .select(*id_cols, *([lang_col] if lang_col else []),
+                *(c for c in (source_col, n_chars_col) if c),
+                text_col, "lang_pred", "lang_conf", "ppl")
+    )
+
+    # Stages 2-3 — features then rule percentages, as staged projections
+    # (codegen locals: each feature computed once per row; see rules.stage)
+    meta_cols = {"lang": lang_col, "source": source_col, "n_chars": n_chars_col}
+
+    def model_pcts(meta):
+        return model_rule_percentages(
+            meta["lang"], F.col("lang_pred"), F.col("lang_conf"), F.col("ppl")
+        )
+
+    with_pcts = scoring_stages(df1, text_col, meta_cols, profile, extra_pcts=model_pcts)
+
+    # Stage 4 — rollup + scrub in the final projection
+    carry = [*id_cols]
+    if lang_col:
+        carry.append(lang_col)
+    carry += ["lang_pred", "lang_conf", "ppl", text_col]
+    scored = final_scores(with_pcts, carry, profile)
+
+    scrub = scrub_columns(F.col(text_col))
+    out_cols = [F.col(c) for c in scored.columns if c != text_col] + [
+        scrub["scrub_count"].alias("scrub_count"),
+        scrub["scrub_email_count"].alias("scrub_email_count"),
+        scrub["scrub_ip_count"].alias("scrub_ip_count"),
+        scrub["scrub_phone_count"].alias("scrub_phone_count"),
+    ]
+    if include_text:
+        out_cols.append(scrub["scrubbed_text"].alias("scrubbed_text"))
+    return scored.select(*out_cols)
+
+
+def partition_metrics(result: DataFrame, lang_col: str = "lang_pred") -> dict[str, DataFrame]:
+    """The per-partition metrics sidecar (north rule): lang histogram,
+    drop-reason counts, scrub counts, rating histogram. Each is one
+    partial-aggregated groupBy (map-side combine, small shuffle)."""
+    return {
+        "lang_histogram": result.groupBy(lang_col).agg(F.count("*").alias("n_docs")),
+        "rating_histogram": result.groupBy("rating").agg(F.count("*").alias("n_docs")),
+        "drop_reasons": (
+            result.select(F.explode("drop_reasons").alias("reason"))
+            .groupBy("reason")
+            .agg(F.count("*").alias("n_docs"))
+        ),
+        "scrub_totals": result.agg(
+            F.sum("scrub_email_count").alias("emails_scrubbed"),
+            F.sum("scrub_ip_count").alias("ips_scrubbed"),
+            F.sum("scrub_phone_count").alias("phones_scrubbed"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("docs_kept"),
+            F.count("*").alias("docs_total"),
+        ),
+    }
+
+
+def salted_repartition(
+    df: DataFrame, n_partitions: int, domain_col: str, fine_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Skew handling for domain-heavy crawl shards (north rule): compose a
+    salt from the high-cardinality column so one hot domain spreads over
+    ``n_salts`` partitions instead of one."""
+    salt = F.pmod(F.xxhash64(F.col(fine_col)), F.lit(n_salts))
+    return df.repartition(n_partitions, F.col(domain_col), salt)

@@ -1,0 +1,67 @@
+"""Model scorer tests: determinism, language separation, perplexity
+ordering (clean prose << gibberish)."""
+
+import pandas as pd
+
+from metadata_quality_stack_spark.functions.langid import SEED_TEXT, LangIdModel, get_model
+from metadata_quality_stack_spark.functions.perplexity import PPL_EMPTY
+from metadata_quality_stack_spark.functions.perplexity import get_model as get_ppl
+from metadata_quality_stack_spark.sources.pages import _gibberish, _prose
+
+import numpy as np
+
+
+def test_langid_separates_languages():
+    m = get_model()
+    rng = np.random.RandomState(3)
+    texts, labels = [], []
+    for lang in SEED_TEXT:
+        for _ in range(5):
+            texts.append(_prose(rng, lang, 10))
+            labels.append(lang)
+    out = m.score_batch(pd.Series(texts))
+    acc = (out["lang_pred"].values == np.array(labels)).mean()
+    assert acc == 1.0, f"langid accuracy {acc}"
+    assert (out["lang_conf"] >= 0).all() and (out["lang_conf"] <= 1).all()
+
+
+def test_langid_deterministic():
+    a = LangIdModel().score_batch(pd.Series(["the morning light was quiet"]))
+    b = LangIdModel().score_batch(pd.Series(["the morning light was quiet"]))
+    assert a.equals(b)
+
+
+def test_perplexity_ordering():
+    m = get_ppl()
+    rng = np.random.RandomState(4)
+    from metadata_quality_stack_spark.config import PERPLEXITY_MAX
+
+    clean = m.perplexity(_prose(rng, "en", 12))
+    gib = m.perplexity(_gibberish(rng, 60))
+    assert clean < PERPLEXITY_MAX < gib
+    assert m.perplexity("") == PPL_EMPTY
+    assert m.perplexity(None) == PPL_EMPTY
+
+
+def test_udf_matches_shared_scorer(spark):
+    from metadata_quality_stack_spark.functions.langid import langid_udf
+    from metadata_quality_stack_spark.functions.perplexity import perplexity_udf
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    texts = [_prose(rng, lang, 8) for lang in SEED_TEXT] + [_gibberish(rng, 30), ""]
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.withColumn("lid", langid_udf()(F.col("text")))
+        .withColumn("ppl", perplexity_udf()(F.col("text")))
+        .select("i", "lid.lang_pred", "lid.lang_conf", "ppl")
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    exp_lid = get_model().score_batch(pdf["text"])
+    exp_ppl = get_ppl().score_batch(pdf["text"])
+    assert list(got["lang_pred"]) == list(exp_lid["lang_pred"])
+    assert list(got["lang_conf"]) == list(exp_lid["lang_conf"])
+    assert list(got["ppl"]) == list(exp_ppl)

@@ -1,0 +1,66 @@
+"""Kill-and-rerun resume test (SURVEY.md §5.2 item 6): inject a crash
+mid-run, rerun, and require the final table to be identical to a
+one-shot run — no duplicates, no holes."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+from metadata_quality_stack_spark.sources.pages import pages_spark_df
+from metadata_quality_stack_spark.sources.sink import (
+    SnapshotManifest,
+    read_results,
+    run_incremental,
+)
+
+
+def _transform(df):
+    return quality_pipeline(df, id_cols=("url",), lang_col="lang", include_text=False)
+
+
+def test_kill_and_rerun_identical(spark):
+    docs = pages_spark_df(spark, n_rows=300, seed=13)
+    one_shot_dir = tempfile.mkdtemp()
+    resumed_dir = tempfile.mkdtemp()
+    try:
+        run_incremental(spark, docs, one_shot_dir, _transform, n_buckets=6)
+
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_incremental(
+                spark, docs, resumed_dir, _transform, n_buckets=6, fail_after=2
+            )
+        m = SnapshotManifest(resumed_dir)
+        assert len(m.entries) == 2  # partial progress persisted
+
+        summary = run_incremental(spark, docs, resumed_dir, _transform, n_buckets=6)
+        assert summary["rows"] == 300
+
+        a = read_results(spark, one_shot_dir).orderBy("url").toPandas()
+        b = read_results(spark, resumed_dir).orderBy("url").toPandas()
+        a = a[sorted(a.columns)].reset_index(drop=True)
+        b = b[sorted(b.columns)].reset_index(drop=True)
+        assert len(a) == len(b) == 300
+        assert a["url"].is_unique and b["url"].is_unique
+        for c in a.columns:
+            if c == "drop_reasons":
+                assert [list(x) for x in a[c]] == [list(x) for x in b[c]]
+            else:
+                assert (a[c] == b[c]).all(), c
+    finally:
+        shutil.rmtree(one_shot_dir, ignore_errors=True)
+        shutil.rmtree(resumed_dir, ignore_errors=True)
+
+
+def test_rerun_skips_completed(spark):
+    docs = pages_spark_df(spark, n_rows=120, seed=17)
+    out = tempfile.mkdtemp()
+    try:
+        run_incremental(spark, docs, out, _transform, n_buckets=4)
+        m1 = SnapshotManifest(out).entries.copy()
+        run_incremental(spark, docs, out, _transform, n_buckets=4)
+        m2 = SnapshotManifest(out).entries
+        assert m1 == m2  # second run did nothing (wall_s identical)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
