@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_quality_stack_spark import config
-from metadata_quality_stack_spark.operators import analytics, dedup, similarity, textops
+from metadata_quality_stack_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 from metadata_quality_stack_spark.operators.rules import apply_quality
 from metadata_quality_stack_spark.oracle import sqlgen
 
@@ -97,6 +103,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
 
+    # -- multimodal binary columns (opaque payload + typed metadata)
+    def _media(s: SparkSession, d: str):
+        return multimodal.attach_fake_media(_t(s, d, "documents"))
+
+    q["media_stats"] = lambda s, d: multimodal.media_stats(_media(s, d))
+    q["media_decode"] = lambda s, d: multimodal.decode_media(_media(s, d)).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_channels",
+        "payload_sha",
+    )
+    q["media_frame_sample"] = lambda s, d: multimodal.frame_sample(
+        _media(s, d), fps=1.0
+    ).select(
+        "doc_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
     # -- similarity search over embeddings
     q["embedding_topk"] = lambda s, d: similarity.brute_force_topk(
         _t(s, d, "embeddings")
@@ -105,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings")
     )
     q["ann_topk"] = lambda s, d: similarity.ann_topk(_t(s, d, "embeddings"))
+    q["embedding_near_dup"] = lambda s, d: similarity.embedding_near_dup_pairs(
+        _t(s, d, "embeddings")
+    )
 
     # -- relational coverage (joins, conditional agg)
     def tpch_q1(s: SparkSession, d: str) -> DataFrame:
@@ -316,6 +342,51 @@ WITH t AS (
 SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM v
 """
 
+    # -- multimodal (fake media: magic header by doc_id % 4 || utf-8 text;
+    # fingerprints defined over lowercase hex so DuckDB's VARCHAR-only
+    # sha256 mirrors the Python mapInPandas decode exactly)
+    media_cte = r"""
+WITH m AS (
+  SELECT doc_id,
+    CASE (doc_id % 4)
+      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      WHEN 2 THEN 'audio/wav' ELSE 'video/webm' END AS media_type,
+    (CASE (doc_id % 4)
+      WHEN 0 THEN '\x89PNG'::BLOB WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
+      WHEN 2 THEN 'RIFF'::BLOB ELSE '\x1AE\xDF\xA3'::BLOB END
+     || encode(text)) AS payload
+  FROM documents
+)"""
+    o["media_stats"] = (
+        f"{media_cte} "
+        "SELECT media_type AS sniffed_type, count(*) AS n_items, "
+        "sum(octet_length(payload)) AS total_bytes, "
+        "round(avg(octet_length(payload)), 4) AS avg_bytes FROM m GROUP BY media_type"
+    )
+    o["media_decode"] = f"""{media_cte},
+d AS (
+  SELECT doc_id, media_type, octet_length(payload) AS n_bytes,
+    sha256(lower(substr(hex(payload), 1, 128))) AS hd,
+    sha256(lower(hex(payload))) AS payload_sha
+  FROM m
+)
+SELECT doc_id, media_type, n_bytes,
+  CAST(16 + ('0x' || substr(hd, 1, 2))::INT % 240 AS INTEGER) AS width,
+  CAST(16 + ('0x' || substr(hd, 3, 2))::INT % 240 AS INTEGER) AS height,
+  CAST(1 + ('0x' || substr(hd, 5, 2))::INT % 4 AS INTEGER) AS n_channels,
+  payload_sha
+FROM d
+"""
+    o["media_frame_sample"] = """
+SELECT doc_id, frame_ts_ms, frame_ts_ms // 1000 AS frame_idx
+FROM (
+  SELECT doc_id,
+    unnest(generate_series(0, CAST((doc_id % 9000) + 999 AS BIGINT), 1000))
+      AS frame_ts_ms
+  FROM documents WHERE (doc_id % 4) = 3
+)
+"""
+
     # -- similarity
     cos_q = similarity.cosine_sql("embedding", "q.q_emb")
     o["embedding_topk"] = f"""
@@ -328,6 +399,13 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     o["lsh_bucket_histogram"] = (
         f"SELECT {bucket} AS bucket, count(*) AS n_vecs FROM embeddings GROUP BY 1"
     )
+    cos_ab = similarity.cosine_sql("a.embedding", "b.embedding")
+    o["embedding_near_dup"] = f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2, round({cos_ab}, 6) AS cos_sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cos_ab}, 6) >= 0.3
+"""
     o["ann_topk"] = f"""
 WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),
 q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM wb WHERE vec_id = 0)

@@ -1,0 +1,85 @@
+"""Production job entrypoint (north rule §3.4 target lifecycle):
+
+    spark-submit --py-files dist/metadata_quality_stack_spark.zip job.py \
+        --input /data/pages --output /data/results [--buckets 64] \
+        [--lang-filter en] [--salts 16]
+
+Reads an Iceberg-style pages table (url, warc_ts, html, text, lang),
+runs the quality pipeline bucket-by-bucket through the snapshot-manifest
+sink (resumable: a killed run continues from the last committed bucket),
+and writes the per-partition metrics sidecar (lang histogram, drop-reason
+counts, scrub counts, rating histogram) next to the results.
+
+On a cluster the session picks up master/executors from spark-submit;
+``get_spark`` only fills in local-mode defaults when run standalone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet/iceberg dir")
+    ap.add_argument("--output", required=True, help="results dir (manifest inside)")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="commit granularity; on a real table use its partitions")
+    ap.add_argument("--profile", default="webtext")
+    ap.add_argument("--lang-filter", default=None,
+                    help="optional declared-lang pushdown filter, e.g. 'en'")
+    ap.add_argument("--salts", type=int, default=16,
+                    help="salt count for domain-skew repartitioning")
+    ap.add_argument("--include-text", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from metadata_quality_stack_spark import get_spark
+    from metadata_quality_stack_spark.plans.pipeline import (
+        partition_metrics,
+        quality_pipeline,
+        salted_repartition,
+    )
+    from metadata_quality_stack_spark.sources.sink import run_incremental
+
+    spark = get_spark(app_name="quality-filter-job")
+    pages = spark.read.parquet(args.input)
+    if args.lang_filter:
+        # predicate pushes down to the scan (parquet min/max + dict filters)
+        pages = pages.filter(F.col("lang") == args.lang_filter)
+    if "domain" not in pages.columns:
+        pages = pages.withColumn(
+            "domain", F.regexp_extract("url", r"^(?:https?://)?([^/]+)", 1)
+        )
+    n_part = spark.sparkContext.defaultParallelism * 2
+    pages = salted_repartition(pages, n_part, "domain", "url", n_salts=args.salts)
+
+    def transform(bucket_df):
+        id_cols = ("url", "warc_ts") if "warc_ts" in bucket_df.columns else ("url",)
+        return quality_pipeline(
+            bucket_df.drop("domain"),
+            id_cols=id_cols,
+            lang_col="lang" if "lang" in bucket_df.columns else None,
+            profile=args.profile,
+            include_text=args.include_text,
+        )
+
+    stats = run_incremental(
+        spark, pages, args.output, transform, key_col="url", n_buckets=args.buckets
+    )
+
+    results = spark.read.parquet(os.path.join(args.output, "bucket=*"))
+    metrics_dir = os.path.join(args.output, "_metrics")
+    for name, df in partition_metrics(results).items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(metrics_dir, name)
+        )
+    print(json.dumps({"job": "quality-filter", **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

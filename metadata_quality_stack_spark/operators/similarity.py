@@ -103,6 +103,39 @@ def ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataF
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: LSH self-join on the
+    bucket key (candidates collide only if all sign bits agree), exact
+    cosine within buckets, keep pairs >= threshold.
+
+    Scale path: the shuffle key is the small bucket string, never the
+    vector; per-bucket candidate sets bound the quadratic stage the same
+    way MinHash bands bound the text-dedup join (dedup.py). Skewed
+    (over-full) buckets are AQE skew-join territory, diagnosable with
+    lsh_bucket_histogram."""
+    with_b = embeddings.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = with_b.alias("a")
+    b = with_b.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------- SQL mirrors
 def dot_sql(a: str, b: str, dim: int = DIM) -> str:
     """Left-fold double dot product — bit-identical to _dot (0.0+x == x)."""

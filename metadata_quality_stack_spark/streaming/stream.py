@@ -1,0 +1,103 @@
+"""Structured Streaming lift of the quality pipeline.
+
+The reference is strictly batch-of-one request/response (SURVEY.md §2.10 —
+no watermarks, windows, or stateful streams anywhere in
+`mjanez/metadata-quality-stack`), and the north rule asks for batch +
+resumable incremental runs. This module exists because a web-scale
+quality filter in production typically ALSO runs as a continuous ingest:
+the per-document stage of :func:`quality_pipeline` is map-only (scan →
+project → two Arrow UDF stages → project, zero shuffles), so it lifts
+verbatim onto ``readStream`` with exactly-once file-sink semantics — the
+streaming checkpoint plays the role the batch path's snapshot manifest
+plays (sources/sink.py).
+
+Two entry points:
+
+* :func:`stream_quality` — file-source ingest of page parquet drops →
+  scored/scrubbed parquet, ``availableNow`` for catch-up runs or
+  micro-batch triggers for continuous tailing.
+* :func:`stream_lang_histogram` — watermarked tumbling-window lang
+  histogram over ``warc_ts`` (late data beyond the watermark dropped),
+  the streaming analog of the per-partition metrics sidecar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of page parquet drops. Schema is declared (file
+    sources require it) so new files append without inference scans."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_quality(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    include_warc_ts: bool = True,
+) -> StreamingQuery:
+    """Continuous scoring: pages stream → quality pipeline → parquet sink.
+
+    Exactly-once via the checkpoint: a killed run resumes from the last
+    committed micro-batch, reprocessing only uncommitted files — the
+    streaming counterpart of the batch bucket manifest."""
+    pages = read_pages_stream(spark, input_dir)
+    id_cols = ("url", "warc_ts") if include_warc_ts else ("url",)
+    scored = quality_pipeline(pages, id_cols=id_cols, lang_col="lang")
+    writer = (
+        scored.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_lang_histogram(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window histogram of declared ``lang`` keyed by
+    ``warc_ts``: the streaming metrics sidecar. Late events older than the
+    watermark are dropped; state is bounded by (windows in watermark ×
+    langs). Complete/update-mode sink chosen by the caller."""
+    pages = read_pages_stream(spark, input_dir)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_size).alias("w"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_docs",
+        )
+    )

@@ -1,0 +1,48 @@
+"""Packaging/deploy test: the engine ships as a --py-files zip and runs
+end-to-end through spark-submit (north rule: "run via spark-submit
+--py-files"), producing the resumable manifest + metrics sidecar.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_pyfiles_job(spark, tmp_path):
+    sys.path.insert(0, REPO)
+    from metadata_quality_stack_spark.sources.pages import generate_pages
+    from tools.build_pyfiles import build
+
+    zip_path = build(str(tmp_path / "engine.zip"))
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pdf = generate_pages(120, seed=5).drop(columns=["row_class"])
+    spark.createDataFrame(pdf).repartition(2).write.parquet(pages_dir)
+
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "job.py"),
+            "--input", pages_dir, "--output", out_dir, "--buckets", "4",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [line for line in proc.stdout.splitlines() if line.startswith("{")][-1]
+    )
+    assert stats["rows"] == 120
+    assert 0 < stats["kept"] < 120
+    manifest = json.load(open(os.path.join(out_dir, "_manifest.json")))
+    assert len(manifest) == 4
+    result = spark.read.parquet(os.path.join(out_dir, "bucket=*"))
+    assert result.count() == 120
+    assert os.path.isdir(os.path.join(out_dir, "_metrics", "lang_histogram"))
