@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metadata_quality_stack_spark import config
-from metadata_quality_stack_spark.functions.text import feature_columns, safe_div
+from metadata_quality_stack_spark.functions.text import (
+    feature_columns,
+    safe_div,
+    token_columns,
+)
 
 
 def _as_pct(cond: Column) -> Column:
@@ -217,10 +221,17 @@ def scoring_stages(
     fn(meta) -> dict of Columns evaluated against the feats stage)."""
     carry = list(df.columns)
     meta = {k: (F.col(v) if v else None) for k, v in meta_cols.items()}
-    staged = stage(df, carry, feature_columns(F.col(text_col)))
-    pcts = native_rule_percentages(
-        {k: F.col(k) for k in feature_columns(F.col(text_col))}, meta
+    # stage 0: tokenize/lower ONCE (split + per-token lower as locals);
+    # stage 1: all scalar features over text + the materialized arrays
+    toked = stage(df, carry, token_columns(F.col(text_col)))
+    feats = feature_columns(
+        F.col(text_col),
+        toks=F.col("_toks"),
+        lows=F.col("_lows"),
+        low_text=F.col("_low_text"),
     )
+    staged = stage(toked, carry, feats)
+    pcts = native_rule_percentages({k: F.col(k) for k in feats}, meta)
     if extra_pcts:
         pcts.update(extra_pcts(meta))
     rules = config.RULES_BY_PROFILE[profile]

@@ -2,17 +2,26 @@
 efficiency >= 0.8 from N to 4N executors).
 
 No real cluster exists in this sandbox, so the same job runs at two
-parallelism levels on the SAME materialized input — ``local[4]`` standing
-in for N executors and ``local[16]`` for 4N — and we report docs/sec at
-both plus efficiency = (T_4N / T_N) / 4.
+parallelism levels on the SAME materialized input — a taskset-pinned
+``local[2]`` standing in for N executors and a pinned ``local[8]`` for
+4N — and we report docs/sec at both plus efficiency = (T_4N / T_N) / 4.
 
-Why 4 vs 16 and not 8 vs 32: the box has 32 shared cores; a calibration
+Why taskset pinning: PySpark's Arrow UDF workers run OUTSIDE the
+``local[N]`` task slots (each task thread feeds its own python worker
+process), so an unpinned local[N] run freeloads extra host cores and
+corrupts the N-vs-4N premise. ``taskset -c`` pins the WHOLE process tree
+(JVM, GC/JIT threads — availableProcessors respects the affinity mask —
+and python workers) to exactly N cores: the faithful simulation of an
+N-core cluster slice.
+
+Why 2 vs 8 and not 8 vs 32: the box has 32 shared cores; a calibration
 loop (fixed per-process work at 2/4/8/16/32 procs) shows per-core
 throughput itself drops ~30% going 8->32 active cores (turbo scaling +
-noisy neighbors), an artifact of packing one physical host that a real
-N->4N *machine* scale-out does not have. 4 vs 16 keeps the pair inside
-the regime where the hardware can express the engine's scaling, and
-leaves idle cores as a buffer against the host's CPU-steal storms.
+memory bandwidth + noisy neighbors) — an artifact of packing one
+physical host that a real N->4N *machine* scale-out does not have. 2 vs
+8 keeps the pair inside the regime where the hardware can express the
+engine's scaling, and leaves idle cores as a buffer against the host's
+CPU-steal storms.
 
 Noise handling: the host shows bursty steal (tens of seconds of stolen
 CPU within a single run). Runs are interleaved N,4N,N,4N,... across
@@ -41,14 +50,50 @@ CORPUS_PATH = "/tmp/scaling_bench_pages"
 BASE_ROWS = int(os.environ.get("BENCH_BASE_ROWS", "4000"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "25"))
 N_DOCS = BASE_ROWS * REPLICAS
-N_SMALL = 4
-N_LARGE = 16
-ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
-RUNS_PER_INVOKE = 2
+N_SMALL = 2
+N_LARGE = 8
+CPUSET = {2: "0-1", 8: "0-7"}
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
+RUNS_PER_INVOKE = 3
 
 
 def _steal() -> int:
     return int(open("/proc/stat").readline().split()[8])
+
+
+def _tree_cpu() -> float:
+    """CPU seconds consumed by this process + all (dead or alive) children
+    — the JVM and its python workers. Live-child CPU comes from /proc."""
+    import resource
+
+    own = resource.getrusage(resource.RUSAGE_SELF)
+    dead = resource.getrusage(resource.RUSAGE_CHILDREN)
+    total = own.ru_utime + own.ru_stime + dead.ru_utime + dead.ru_stime
+    clk = os.sysconf("SC_CLK_TCK")
+    me = str(os.getpid())
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # ppid is field 4 (index 1 after the comm close-paren)
+            if parts[1] == me:
+                total += (int(parts[11]) + int(parts[12])) / clk
+                # include grandchildren (python workers under the JVM)
+                for pid2 in os.listdir("/proc"):
+                    if not pid2.isdigit():
+                        continue
+                    try:
+                        with open(f"/proc/{pid2}/stat") as f2:
+                            p2 = f2.read().rsplit(")", 1)[1].split()
+                        if p2[1] == pid:
+                            total += (int(p2[11]) + int(p2[12])) / clk
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+    return total
 
 
 def build_corpus() -> None:
@@ -85,16 +130,20 @@ def worker(cpus: int, runs: int = RUNS_PER_INVOKE) -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warm executor python workers (model build is once-per-worker in prod)
+    # warm: python worker pool + model build (once-per-worker in prod) and
+    # C2 JIT of the big generated projection methods (a full-corpus pass —
+    # short samples leave the hot paths half-compiled at high parallelism)
     noop(
         quality_pipeline(
-            corpus.sample(fraction=0.05, seed=1), id_cols=("url",), lang_col="lang"
+            corpus.sample(fraction=0.1, seed=1), id_cols=("url",), lang_col="lang"
         )
     )
+    noop(quality_pipeline(corpus, id_cols=("url",), lang_col="lang"))
     for _ in range(runs):
-        s0, t0 = _steal(), time.time()
+        s0, c0, t0 = _steal(), _tree_cpu(), time.time()
         noop(quality_pipeline(corpus, id_cols=("url",), lang_col="lang"))
         dt = time.time() - t0
+        cpu = _tree_cpu() - c0
         print(
             json.dumps(
                 {
@@ -103,6 +152,8 @@ def worker(cpus: int, runs: int = RUNS_PER_INVOKE) -> None:
                     "wall_s": round(dt, 3),
                     "docs_per_sec": round(N_DOCS / dt, 1),
                     "steal_jiffies": _steal() - s0,
+                    "cpu_s": round(cpu, 1),
+                    "docs_per_cpu_sec": round(N_DOCS / cpu, 1) if cpu > 0 else None,
                 }
             ),
             flush=True,
@@ -117,7 +168,8 @@ def orchestrate() -> None:
     for rnd in range(ROUNDS):
         for cpus in (N_SMALL, N_LARGE):
             out = subprocess.run(
-                [sys.executable, __file__, "--worker", "--cpus", str(cpus)],
+                ["taskset", "-c", CPUSET[cpus], sys.executable, __file__,
+                 "--worker", "--cpus", str(cpus)],
                 capture_output=True, text=True, cwd=REPO, check=True,
             )
             for line in out.stdout.strip().splitlines():
