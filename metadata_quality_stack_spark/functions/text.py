@@ -80,23 +80,26 @@ RE_ELLIPSIS_EOL = "(?m)\\.\\.\\. *$"
 RE_BULLET_BOL = "(?m)^ *[-*•]"
 
 
-def token_columns(text: Column) -> dict[str, Column]:
-    """Stage-0 intermediates, materialized ONCE as real columns so the
-    split/lower work is guaranteed single-execution (codegen CSE does not
-    reach under HOF lambdas; a materialized column does better — it's a
+def lower_column(text: Column) -> dict[str, Column]:
+    """Stage-0a: the lowercased text, materialized once."""
+    return {"_low_text": F.lower(text)}
+
+
+def token_columns(text: Column, low_text: Column) -> dict[str, Column]:
+    """Stage-0b intermediates, materialized ONCE as real columns so the
+    split work is guaranteed single-execution (a materialized column is a
     local in the generated code):
 
-    * _toks      — whitespace tokens of the raw text
-    * _lows      — distinct lowercased tokens (lower per token ==
-                   tokenizing lower(text): lowercasing never creates or
-                   destroys whitespace in our charset)
-    * _low_text  — lowercased full text (boilerplate probes)
+    * _toks — whitespace tokens of the raw text
+    * _lows — distinct tokens of the (stage-0a) lowercased text; split of
+      _low_text rather than transform(_toks, lower) because higher-order
+      functions are NOT codegen-capable — one HOF kicks the whole
+      projection out of whole-stage codegen into interpreted eval
+      (verified via explain: the Project loses its codegen id)
     """
-    toks = token_array(text)
     return {
-        "_toks": toks,
-        "_lows": F.array_distinct(F.transform(toks, lambda x: F.lower(x))),
-        "_low_text": F.lower(text),
+        "_toks": token_array(text),
+        "_lows": F.array_distinct(token_array(low_text)),
     }
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from metadata_quality_stack_spark import config
 from metadata_quality_stack_spark.functions.text import (
     feature_columns,
+    lower_column,
     safe_div,
     token_columns,
 )
@@ -221,9 +222,15 @@ def scoring_stages(
     fn(meta) -> dict of Columns evaluated against the feats stage)."""
     carry = list(df.columns)
     meta = {k: (F.col(v) if v else None) for k, v in meta_cols.items()}
-    # stage 0: tokenize/lower ONCE (split + per-token lower as locals);
-    # stage 1: all scalar features over text + the materialized arrays
-    toked = stage(df, carry, token_columns(F.col(text_col)))
+    # stage 0a: lower once; stage 0b: tokenize raw + lowered ONCE;
+    # stage 1: all scalar features over text + the materialized arrays.
+    # All three stay inside one WholeStageCodegen span (no HOFs anywhere).
+    lowered = stage(df, carry, lower_column(F.col(text_col)))
+    toked = stage(
+        lowered,
+        [*carry, "_low_text"],
+        token_columns(F.col(text_col), F.col("_low_text")),
+    )
     feats = feature_columns(
         F.col(text_col),
         toks=F.col("_toks"),

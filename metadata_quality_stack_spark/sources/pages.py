@@ -54,6 +54,28 @@ def extract_text(html_bytes: bytes) -> str:
     return html_mod.unescape(body)
 
 
+def extract_text_column(html_col):
+    """Spark-native html -> text extraction: the distributed, byte-identical
+    twin of :func:`extract_text` (input_hint invariant: byte-identical
+    extracted text per url). Pure Column expressions — decode, substring
+    slicing, literal replaces — so extraction runs inside whole-stage
+    codegen, no Python.
+
+    Inversion notes: '<' is always escaped inside the body, so the first
+    '<main>' / '</main>' are the only ones (substring_index is safe); the
+    entity unescape order ('&lt;'/'&gt;' before '&amp;') exactly inverts
+    html.escape(quote=False), which escapes '&' first.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.decode(html_col, "UTF-8")
+    body = F.substring_index(F.substring_index(s, "</main>", 1), "<main>", -1)
+    body = F.replace(body, F.lit("<br/>"), F.lit("\n"))
+    body = F.replace(body, F.lit("&lt;"), F.lit("<"))
+    body = F.replace(body, F.lit("&gt;"), F.lit(">"))
+    return F.replace(body, F.lit("&amp;"), F.lit("&"))
+
+
 def _prose(rng: np.random.RandomState, lang: str, n_sentences: int) -> str:
     """Sentences of seed-vocab words, '.'-terminated, a few per line."""
     words = VOCAB[lang]
