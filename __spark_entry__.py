@@ -25,6 +25,7 @@ from metadata_quality_stack_spark.operators import (
     multimodal,
     similarity,
     textops,
+    vocab,
 )
 from metadata_quality_stack_spark.operators.rules import apply_quality
 from metadata_quality_stack_spark.oracle import sqlgen
@@ -32,6 +33,8 @@ from metadata_quality_stack_spark.oracle import sqlgen
 EVENTS_START = "2024-01-05 00:00:00"
 EVENTS_END = "2024-01-10 00:00:00"
 JACCARD_MAX_DOC = 200  # pairwise stage is candidate-limited (see dedup.py)
+# vocab.load_vocab semantics on a CSV [src0..src4]: first row swallowed
+ALLOWED_SOURCES = ["src1", "src2", "src3", "src4"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -102,6 +105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").filter(F.col("doc_id") < JACCARD_MAX_DOC)
     )
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
+
+    # -- vocabulary membership (J1 broadcast literal-set probe; the allow
+    # list mimics a header-swallowed CSV: 'src0' is the swallowed row)
+    q["source_compliance"] = lambda s, d: vocab.source_compliance(
+        _t(s, d, "documents"), ALLOWED_SOURCES
+    )
 
     # -- multimodal binary columns (opaque payload + typed metadata)
     def _media(s: SparkSession, d: str):
@@ -340,6 +349,21 @@ WITH t AS (
   FROM documents
 ), v AS (SELECT doc_id, {', '.join(votes)} FROM t)
 SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM v
+"""
+
+    # -- vocabulary membership
+    srcs = ", ".join(f"'{s}'" for s in ALLOWED_SOURCES)
+    o["source_compliance"] = f"""
+SELECT
+  CAST(sum(CASE WHEN source IS NOT NULL AND source IN ({srcs}) THEN 1 ELSE 0 END)
+    AS BIGINT) AS compliant,
+  CAST(sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS population,
+  round(coalesce(
+    CAST(sum(CASE WHEN source IS NOT NULL AND source IN ({srcs}) THEN 1 ELSE 0 END)
+         AS DOUBLE)
+    / nullif(CAST(sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE),
+             0.0), 0.0), 6) AS pct
+FROM documents
 """
 
     # -- multimodal (fake media: magic header by doc_id % 4 || utf-8 text;

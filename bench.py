@@ -72,23 +72,36 @@ def main() -> None:
         )
     )
     _noop(quality_pipeline(corpus, id_cols=("url",), lang_col="lang"))
+
+    def _steal() -> int:
+        return int(open("/proc/stat").readline().split()[8])
+
+    steal_best: dict[str, int] = {}
+
     def bench(name, df_fn, runs: int = 3):
-        # best-of-N: this sandbox sees host CPU-steal storms; min is the
-        # honest engine number
-        best = None
+        # best-of-N: this sandbox sees host CPU-steal storms (neighbors can
+        # steal 100s of CPU-seconds inside one run); min wall is the honest
+        # engine number, and we record the steal seen during that best run
+        best, best_steal = None, 0
         for _ in range(runs):
-            t0 = time.time()
+            s0, t0 = _steal(), time.time()
             _noop(df_fn())
             dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+            if best is None or dt < best:
+                best, best_steal = dt, _steal() - s0
         timings[name] = round(best, 3)
+        steal_best[name] = best_steal
 
     bench(
         "quality_pipeline_full",
         lambda: quality_pipeline(corpus, id_cols=("url",), lang_col="lang"),
+        runs=int(os.environ.get("BENCH_PIPELINE_RUNS", "5")),
     )
 
-    docs = t("documents")
+    # sf tables ship as ONE parquet file (< maxPartitionBytes), which Spark
+    # scans as a single task; repartition so per-doc operators actually
+    # parallelize — a real crawl input is thousands of files and needs none
+    docs = t("documents").repartition(CPUS)
     bench("quality_scores_native", lambda: analytics.scored_documents(docs))
     bench("exact_dedup", lambda: dedup.exact_dedup_groups(docs))
     bench("minhash_bands", lambda: dedup.minhash_bands(docs))
@@ -120,6 +133,7 @@ def main() -> None:
                 "pipeline_docs": n_docs,
                 "docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
+                "pipeline_steal_jiffies": steal_best["quality_pipeline_full"],
             }
         )
     )

@@ -73,51 +73,29 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """MinHash over 3-word shingles with a universal affine hash family
     over a 28-bit md5-derived base (numeric min; empty shingles -> NULL).
 
-    Single left-fold over the shingle array computing all k mins at once —
-    the shingle array and the md5 (the expensive parts) are evaluated ONCE
-    per shingle: the base is bound once via a singleton-transform lambda,
-    then the k affine variants are integer ops."""
+    Shape: explode shingles -> one md5 per (doc, shingle) -> hash
+    aggregate of k affine mins. Everything stays in whole-stage codegen
+    (the earlier array-fold formulation used higher-order lambdas, which
+    are interpreted and excluded from subexpression elimination — measured
+    ~10x slower). Partial min aggregation combines map-side, so the only
+    shuffled payload is one (doc_id, k longs) row per doc per partition:
+    signatures move, raw shingles never do — the at-scale design.
+    Docs with no shingles survive via explode_outer: NULL base -> NULL mins."""
     sh = _shingles(F.col("text"))
-    sentinel = MINHASH_M  # h_k in [0, M-1], so M never occurs
-    init = F.array(*[F.lit(sentinel).cast("long") for _ in range(n_hashes)])
-
-    def all_hashes(s):
-        base = F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 7), 16, 10).cast(
-            "long"
-        )
-        # bind base ONCE (lambda var), then derive the k affine hashes
-        return F.element_at(
-            F.transform(
-                F.array(base),
-                lambda b: F.array(
-                    *[
-                        (F.lit(MINHASH_A[k]) * b + F.lit(MINHASH_B[k]))
-                        % F.lit(MINHASH_M)
-                        for k in range(n_hashes)
-                    ]
-                ),
-            ),
-            1,
-        )
-
-    folded = F.aggregate(
-        sh, init, lambda acc, s: F.zip_with(acc, all_hashes(s), lambda a, b: F.least(a, b))
+    ex = docs.select("doc_id", F.explode_outer(sh).alias("s"))
+    base = F.conv(
+        F.substring(F.md5(F.encode(F.col("s"), "UTF-8")), 1, 7), 16, 10
+    ).cast("long")
+    with_base = ex.select("doc_id", base.alias("base"))
+    return with_base.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[k]) * F.col("base") + F.lit(MINHASH_B[k]))
+                % F.lit(MINHASH_M)
+            ).alias(f"mh{k}")
+            for k in range(n_hashes)
+        ]
     )
-    # Exchange barrier: the fold must evaluate ONCE per row. Downstream
-    # projections reference the signature 8+ times, and higher-order
-    # expressions are excluded from Spark's subexpression elimination —
-    # without the barrier CollapseProject would inline (and re-execute)
-    # the whole shingle+md5 fold per reference. Shuffling the ~256-byte
-    # signatures is the at-scale design anyway: signatures move, raw
-    # shingles never do.
-    sig = docs.select("doc_id", folded.alias("sig")).repartition("doc_id")
-    cols = [
-        F.nullif(F.element_at(F.col("sig"), k + 1), F.lit(sentinel).cast("long")).alias(
-            f"mh{k}"
-        )
-        for k in range(n_hashes)
-    ]
-    return sig.select("doc_id", *cols)
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
