@@ -80,3 +80,56 @@ def test_windowed_lang_histogram(spark, pages_dir, tmp_path):
         .collect()
     }
     assert {r["lang"]: r["n"] for r in got} == want
+
+
+def test_stateful_running_domain_stats(spark, pages_dir, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: force one
+    file per trigger, then the final per-domain totals must equal the
+    batch groupBy over the whole input."""
+    from metadata_quality_stack_spark.streaming.stateful import (
+        running_domain_stats,
+    )
+    from metadata_quality_stack_spark.streaming.stream import (
+        PAGES_SCHEMA,
+        read_pages_stream,
+    )
+
+    pages = read_pages_stream(spark, pages_dir, max_files_per_trigger=1)
+    scored = quality_pipeline(pages, id_cols=("url",), lang_col="lang",
+                              include_text=False)
+    q = (
+        running_domain_stats(scored)
+        .writeStream.format("memory")
+        .queryName("domain_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # >1 micro-batch actually ran (statefulness was exercised)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    import pandas as pd
+
+    got = spark.sql(
+        "SELECT domain, max(n_docs) AS n_docs, max(n_kept) AS n_kept "
+        "FROM domain_stats GROUP BY domain"
+    ).toPandas().set_index("domain")
+    batch = quality_pipeline(
+        spark.read.parquet(pages_dir), id_cols=("url",), lang_col="lang",
+        include_text=False,
+    )
+    want = (
+        batch.select(
+            F.regexp_extract("url", r"^(?:https?://)?([^/]+)", 1).alias("domain"),
+            F.col("keep").cast("int").alias("keep"),
+        )
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"), F.sum("keep").alias("n_kept"))
+        .toPandas().set_index("domain")
+    )
+    assert sorted(got.index) == sorted(want.index)
+    for d in want.index:
+        assert got.loc[d, "n_docs"] == want.loc[d, "n_docs"], d
+        assert got.loc[d, "n_kept"] == want.loc[d, "n_kept"], d
