@@ -106,6 +106,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
 
+    # -- flagship full pipeline (model UDFs not SQL-expressible: rows-only
+    # driver check; exact parity is pinned by tests/test_pipeline_f1.py
+    # against the pure-pandas reference oracle)
+    def full_pipeline(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+
+        docs = _t(s, d, "documents").withColumnRenamed("doc_id", "url")
+        out = quality_pipeline(
+            docs.withColumn("url", F.col("url").cast("string")),
+            id_cols=("url",),
+            lang_col="lang",
+            source_col="source",
+            n_chars_col="n_chars",
+            include_text=False,
+        )
+        return out.select(
+            "url", *config.DIMENSIONS, "total_score", "rating", "keep",
+            "lang_pred", "ppl", "scrub_count",
+        )
+
+    q["full_pipeline"] = full_pipeline
+
     # -- vocabulary membership (J1 broadcast literal-set probe; the allow
     # list mimics a header-swallowed CSV: 'src0' is the swallowed row)
     q["source_compliance"] = lambda s, d: vocab.source_compliance(

@@ -16,13 +16,19 @@ from metadata_quality_stack_spark import config
 
 
 def scrub_columns(text: Column) -> dict[str, Column]:
-    """Returns scrubbed text + per-kind scrub counts."""
+    """Returns scrubbed text + per-kind scrub counts.
+
+    The replace pass is gated on its own count: when a stage matches
+    nothing (the overwhelmingly common case for PII), the input string
+    passes through untouched — no second regex scan, no string copy.
+    Count==0 makes the replace an identity, so the gate is semantics-free."""
     out: dict[str, Column] = {}
     cur = text
     for kind in config.SCRUB_ORDER:
         pattern, token = config.PII_REPLACEMENTS[kind]
-        out[f"scrub_{kind}_count"] = F.regexp_count(cur, F.lit(pattern))
-        cur = F.regexp_replace(cur, pattern, token)
+        cnt = F.regexp_count(cur, F.lit(pattern))
+        out[f"scrub_{kind}_count"] = cnt
+        cur = F.when(cnt > 0, F.regexp_replace(cur, pattern, token)).otherwise(cur)
     out["scrubbed_text"] = cur
     total = None
     for kind in config.SCRUB_ORDER:

@@ -39,7 +39,15 @@ def quality_pipeline(
 ) -> DataFrame:
     """Score + scrub every document. Returns one row per input row with:
     id cols, scrubbed_text (+scrub counts), dimension scores, total_score,
-    rating, keep, drop_reasons, lang_pred, lang_conf, ppl."""
+    rating, keep, drop_reasons, lang_pred, lang_conf, ppl.
+
+    If ``text_col`` is absent but an ``html`` binary column exists, text is
+    extracted first via the native byte-identical extractor
+    (sources.pages.extract_text_column) — still map-only, still codegen."""
+    if text_col not in df.columns and "html" in df.columns:
+        from metadata_quality_stack_spark.sources.pages import extract_text_column
+
+        df = df.withColumn(text_col, extract_text_column(F.col("html"))).drop("html")
     text = F.col(text_col)
 
     # Stage 1 — model scorers (the only Python in the plan; Arrow-batched,

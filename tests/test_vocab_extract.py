@@ -103,3 +103,22 @@ def test_native_extraction_hostile_spark(spark):
         "text", extract_text_column(F.col("html")).alias("e")
     ).collect():
         assert r["e"] == r["text"]
+
+
+def test_pipeline_accepts_html_only_input(spark):
+    """quality_pipeline derives text from the html binary column when no
+    text column exists — results identical to the text-input run."""
+    from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+
+    pdf = generate_pages(120, seed=31).drop(columns=["row_class"])
+    full = spark.createDataFrame(pdf)
+    cols = ["url", "total_score", "rating", "keep", "scrubbed_text"]
+    from_html = quality_pipeline(
+        full.drop("text"), id_cols=("url",), lang_col="lang"
+    ).select(*cols)
+    from_text = quality_pipeline(
+        full.drop("html"), id_cols=("url",), lang_col="lang"
+    ).select(*cols)
+    assert sorted(map(tuple, from_html.collect())) == sorted(
+        map(tuple, from_text.collect())
+    )
