@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["langid_heuristic"] = lambda s, d: textops.langid_heuristic(_t(s, d, "documents"))
     q["doc_fingerprint"] = lambda s, d: textops.doc_fingerprint(_t(s, d, "documents"))
     q["scrub_pii"] = lambda s, d: textops.scrub_documents(_t(s, d, "documents"))
+    q["length_quality_ramp"] = lambda s, d: textops.length_quality_ramp(
+        _t(s, d, "documents")
+    )
+    q["report_json"] = lambda s, d: textops.report_json(_scored(s, d))
 
     # -- dedup family
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents"))
@@ -301,6 +305,28 @@ FROM f
         f"CAST({sc['scrub_phone_count']} AS INTEGER) AS scrub_phone_count, "
         f"CAST({sc['scrub_count']} AS INTEGER) AS scrub_count "
         "FROM documents"
+    )
+
+    o["length_quality_ramp"] = """
+SELECT doc_id, n_chars,
+  round(greatest(least(
+    CASE WHEN CAST(n_chars AS DOUBLE) < 100.0
+         THEN 0.5 * (CAST(n_chars AS DOUBLE) / 100.0)
+         ELSE least(0.5 + 0.5 * ((CAST(n_chars AS DOUBLE) - 100.0) / 400.0), 1.0)
+    END, 1.0), 0.0), 6) AS length_score
+FROM documents
+"""
+    dqv_dims = ", ".join(f'"{d}": %d' for d in config.DIMENSIONS)
+    dqv_fmt = (
+        '{{"doc_id": %d, "totalScore": %d, "rating": "%s", "keep": %s, '
+        '"dimensions": {{' + dqv_dims + "}}}}"
+    ).replace("{{", "{").replace("}}", "}")
+    dqv_args = ", ".join(["doc_id", "total_score", "rating",
+                          "CASE WHEN keep THEN 'true' ELSE 'false' END",
+                          *config.DIMENSIONS])
+    o["report_json"] = (
+        f"WITH scored AS ({scored}) "
+        f"SELECT doc_id, printf('{dqv_fmt}', {dqv_args}) AS report FROM scored"
     )
 
     # -- dedup

@@ -116,3 +116,54 @@ s AS (SELECT doc_id, lang, {sel} FROM t),
 b AS (SELECT *, {best} AS best FROM s)
 SELECT doc_id, lang, {case} AS lang_pred, best AS best_hits FROM b
 """
+
+
+def length_quality_ramp(
+    docs: DataFrame, min_chars: int = 100, ideal_chars: int = 500
+) -> DataFrame:
+    """Partial-credit text-length ramp — the reference's only non-binary
+    client metric (react-app MQAService.ts:253-259: below min -> 0.5
+    baseline prorated, min..ideal -> 0.5..1.0, above ideal -> 1.0).
+    Pure least/greatest arithmetic, no branches."""
+    n = F.col("n_chars").cast("double")
+    below = 0.5 * (n / F.lit(float(min_chars)))
+    ramp = 0.5 + 0.5 * (
+        (n - min_chars) / F.lit(float(ideal_chars - min_chars))
+    )
+    score = F.when(n < min_chars, below).otherwise(
+        F.least(ramp, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "length_score"
+        ),
+    )
+
+
+def report_json(scored: DataFrame) -> DataFrame:
+    """DQV-ish per-document JSON report (reference S8 analog,
+    converters.py:28-137): a fixed-field JSON string built with
+    format_string so the exact bytes are reproducible in any SQL engine
+    (to_json key order / float formatting varies across engines)."""
+    from metadata_quality_stack_spark import config
+
+    dims = ", ".join(
+        f'"{d}": %d' for d in config.DIMENSIONS
+    )
+    fmt = (
+        '{"doc_id": %d, "totalScore": %d, "rating": "%s", "keep": %s, '
+        '"dimensions": {' + dims + "}}"
+    )
+    return scored.select(
+        "doc_id",
+        F.format_string(
+            fmt,
+            F.col("doc_id"),
+            F.col("total_score"),
+            F.col("rating"),
+            F.when(F.col("keep"), F.lit("true")).otherwise(F.lit("false")),
+            *[F.col(d) for d in config.DIMENSIONS],
+        ).alias("report"),
+    )

@@ -13,18 +13,43 @@ extraction is requested (column pruning).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from metadata_quality_stack_spark import config
-from metadata_quality_stack_spark.functions.langid import langid_udf
-from metadata_quality_stack_spark.functions.perplexity import perplexity_udf
 from metadata_quality_stack_spark.functions.scrub import scrub_columns
 from metadata_quality_stack_spark.operators.rules import (
     final_scores,
     model_rule_percentages,
     scoring_stages,
 )
+
+
+def model_scores_udf():
+    """Fused langid + perplexity scorer: one Arrow transfer of the text,
+    one python worker chain, struct(lang_pred, lang_conf, ppl) out.
+    Iterator form — both models build once per worker process."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("lang_pred string, lang_conf double, ppl double")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from metadata_quality_stack_spark.functions.langid import (
+            get_model as get_langid,
+        )
+        from metadata_quality_stack_spark.functions.perplexity import (
+            get_model as get_ppl,
+        )
+
+        lid, ppl = get_langid(), get_ppl()
+        for texts in it:
+            out = lid.score_batch(texts)
+            out["ppl"] = ppl.score_batch(texts)
+            yield out
+
+    return _udf
 
 
 def quality_pipeline(
@@ -51,14 +76,17 @@ def quality_pipeline(
     text = F.col(text_col)
 
     # Stage 1 — model scorers (the only Python in the plan; Arrow-batched,
-    # iterator-form so weights build once per worker). The struct UDF is
-    # materialized once then field-extracted, so it executes once per row.
+    # iterator-form so weights build once per worker). Both models run in
+    # ONE fused UDF: the document text crosses the JVM<->Python Arrow pipe
+    # once, not once per model — at 100 TB the text transfer IS the cost
+    # of this stage. The struct result is materialized once then
+    # field-extracted, so the UDF executes once per row.
     df1 = (
-        df.withColumn("_lid", langid_udf()(text))
-        .withColumn("ppl", perplexity_udf()(text))
-        .withColumn("lang_pred", F.col("_lid.lang_pred"))
-        .withColumn("lang_conf", F.col("_lid.lang_conf"))
-        .drop("_lid")
+        df.withColumn("_m", model_scores_udf()(text))
+        .withColumn("lang_pred", F.col("_m.lang_pred"))
+        .withColumn("lang_conf", F.col("_m.lang_conf"))
+        .withColumn("ppl", F.col("_m.ppl"))
+        .drop("_m")
         .select(*id_cols, *([lang_col] if lang_col else []),
                 *(c for c in (source_col, n_chars_col) if c),
                 text_col, "lang_pred", "lang_conf", "ppl")

@@ -40,13 +40,14 @@ def test_pipeline_is_map_only(pages):
 
 def test_pipeline_stays_in_codegen(pages):
     """Every native projection runs inside whole-stage codegen (formatted
-    mode marks codegen'd ops with a [codegen id]); exactly two Arrow UDF
-    evals exist (each op appears twice in formatted output: tree + detail).
-    HOFs are banned from the hot path precisely because one lambda kicks
-    its whole Project out of codegen into interpreted eval."""
+    mode marks codegen'd ops with a [codegen id]); exactly ONE fused Arrow
+    UDF eval exists — the text crosses the Arrow pipe once (each op appears
+    twice in formatted output: tree + detail). HOFs are banned from the hot
+    path precisely because one lambda kicks its whole Project out of
+    codegen into interpreted eval."""
     plan = plan_str(quality_pipeline(pages, id_cols=("url",), lang_col="lang"))
     assert "codegen id" in plan
-    assert plan.count("ArrowEvalPython") == 4
+    assert plan.count("ArrowEvalPython") == 2
     tree = plan.split("(1)")[0]
     # no interpreted Project between the UDF stage and the sink except the
     # unstarred ones adjacent to ArrowEvalPython (field extraction) and the
