@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["report_json"] = lambda s, d: textops.report_json(_scored(s, d))
+    q["bpe_token_stats"] = lambda s, d: textops.bpe_token_stats(
+        _t(s, d, "documents")
+    )
 
     # -- dedup family
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents"))
@@ -165,6 +168,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk"] = lambda s, d: similarity.ann_topk(_t(s, d, "embeddings"))
     q["embedding_near_dup"] = lambda s, d: similarity.embedding_near_dup_pairs(
         _t(s, d, "embeddings")
+    )
+    q["ivf_topk"] = lambda s, d: similarity.ivf_topk(_t(s, d, "embeddings"))
+    q["ivf_cell_histogram"] = lambda s, d: (
+        similarity.ivf_assign(_t(s, d, "embeddings"))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vecs"))
     )
 
     # -- relational coverage (joins, conditional agg)
@@ -307,6 +316,17 @@ FROM f
         "FROM documents"
     )
 
+    bpe_all = textops.BPE_PRETOKEN_RE.replace("'", "''")
+    bpe_nonws = r"''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+    o["bpe_token_stats"] = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{bpe_all}')) AS INTEGER) AS n_pieces,
+  CAST(len(regexp_extract_all(text, '{bpe_nonws}')) AS INTEGER) AS n_tokens,
+  round(coalesce(CAST(length(text) AS DOUBLE) /
+    nullif(CAST(len(regexp_extract_all(text, '{bpe_nonws}')) AS DOUBLE), 0.0),
+    0.0), 6) AS chars_per_token
+FROM documents
+"""
     o["length_quality_ramp"] = """
 SELECT doc_id, n_chars,
   round(greatest(least(
@@ -477,6 +497,32 @@ WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
 SELECT a.vec_id AS v1, b.vec_id AS v2, round({cos_ab}, 6) AS cos_sim
 FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({cos_ab}, 6) >= 0.3
+"""
+    cos_ec = similarity.cosine_sql("e.embedding", "c.c_emb")
+    cos_cq = similarity.cosine_sql("c_emb", "q_emb")
+    cos_aq = similarity.cosine_sql("a.embedding", "q.q_emb")
+    ivf_cte = f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+               WHERE vec_id < {similarity.IVF_K}),
+assigned AS (
+  SELECT vec_id, label, embedding, cell_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({cos_ec}, 6) DESC, c.cell_id ASC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+)"""
+    o["ivf_cell_histogram"] = (
+        f"{ivf_cte} SELECT cell_id, count(*) AS n_vecs FROM assigned GROUP BY cell_id"
+    )
+    o["ivf_topk"] = f"""{ivf_cte},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT cell_id FROM cents, q
+          ORDER BY round({cos_cq}, 6) DESC, cell_id ASC LIMIT {similarity.IVF_NPROBE})
+SELECT a.vec_id, a.label, round({cos_aq}, 6) AS cos_sim
+FROM assigned a JOIN probe USING (cell_id), q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
 """
     o["ann_topk"] = f"""
 WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),

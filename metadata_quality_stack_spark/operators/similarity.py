@@ -136,6 +136,75 @@ def embedding_near_dup_pairs(
     )
 
 
+IVF_K = 16
+IVF_NPROBE = 2
+
+
+def ivf_assign(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
+    """IVF cell assignment with deterministic data-derived centroids (the
+    embeddings of the first ``k`` vec_ids — a k-means seeding without the
+    iterations; production would Lloyd-iterate the same plumbing).
+
+    Plan: centroids broadcast (k rows), cross join + argmax via window —
+    the big side never shuffles for the join, only for the per-vector
+    argmax window (keyed by vec_id, AQE-coalesced)."""
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "cell_id", sim.alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_cells: int = IVF_K,
+) -> DataFrame:
+    """IVF ANN: exact cosine only within the query's ``nprobe`` nearest
+    cells. Complements the hyperplane-LSH path (ann_topk): IVF probes by
+    centroid distance, LSH by sign-bucket equality."""
+    assigned = ivf_assign(embeddings, n_cells)
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    q_emb = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q_emb))
+        .select(
+            "cell_id",
+            F.round(cosine(F.col("c_emb"), F.col("q_emb")), 6).alias("q_sim"),
+        )
+        .orderBy(F.desc("q_sim"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell_id")
+        .crossJoin(F.broadcast(q_emb))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------- SQL mirrors
 def dot_sql(a: str, b: str, dim: int = DIM) -> str:
     """Left-fold double dot product — bit-identical to _dot (0.0+x == x)."""

@@ -167,3 +167,31 @@ def report_json(scored: DataFrame) -> DataFrame:
             *[F.col(d) for d in config.DIMENSIONS],
         ).alias("report"),
     )
+
+
+# GPT-2-style pretokenizer, restricted to the Java/RE2/DuckDB-common subset
+# (no \p classes, no lookahead): contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs.
+BPE_PRETOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting (training-data budget estimation): counts
+    pretokenizer pieces and non-whitespace pieces per doc — one
+    regexp_count pass each, native."""
+    nonws = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_PRETOKEN_RE)).alias("n_pieces"),
+        F.regexp_count("text", F.lit(nonws)).alias("n_tokens"),
+        F.round(
+            F.coalesce(
+                F.length("text").cast("double")
+                / F.nullif(
+                    F.regexp_count("text", F.lit(nonws)).cast("double"), F.lit(0.0)
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )
