@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_date_range"] = lambda s, d: analytics.events_date_range(
         _t(s, d, "events"), EVENTS_START, EVENTS_END
     )
+    q["events_hourly"] = lambda s, d: analytics.events_hourly(_t(s, d, "events"))
 
     # -- text analysis (token counting, langid, fingerprint, scrub)
     q["token_stats"] = lambda s, d: textops.token_stats(_t(s, d, "documents"))
@@ -275,6 +276,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
         f"FROM events WHERE ts >= TIMESTAMP '{EVENTS_START}' "
         f"AND ts < TIMESTAMP '{EVENTS_END}' GROUP BY event_type"
+    )
+
+    o["events_hourly"] = (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
     )
 
     # -- text analysis

@@ -100,6 +100,25 @@ def events_date_range(events: DataFrame, start: str, end: str) -> DataFrame:
     )
 
 
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window rollup over event time — the batch twin of
+    the streaming windowed histogram (streaming/stream.py). F.window is
+    partition-prunable on ts and aggregates with map-side combine."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dimension_correlation(scored: DataFrame) -> DataFrame:
     """A10 — dashboard.py:326-372: pairwise correlation of dimension scores
     with the total. Rounded to 4 to survive float-order differences."""
