@@ -68,22 +68,33 @@ def run_incremental(
         result = transform(part)
         path = os.path.join(out_dir, f"bucket={b}")
         result.write.mode("overwrite").parquet(path)
-        stats = (
-            spark.read.parquet(path)
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-            )
-            .collect()[0]
-        )
-        manifest.commit(
-            b,
-            {
-                "rows": int(stats["rows"]),
-                "kept": int(stats["kept"] or 0),
-                "wall_s": round(time.time() - t0, 3),
-            },
-        )
+        written = spark.read.parquet(path)
+        aggs = [
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        ]
+        if "scrub_count" in written.columns:
+            aggs.append(F.sum("scrub_count").alias("scrubbed"))
+        stats = written.agg(*aggs).collect()[0]
+        entry = {
+            "rows": int(stats["rows"]),
+            "kept": int(stats["kept"] or 0),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        if "scrub_count" in written.columns:
+            entry["scrubbed"] = int(stats["scrubbed"] or 0)
+        if "drop_reasons" in written.columns:
+            # per-bucket lineage: why documents were dropped, histogram
+            entry["drop_reasons"] = {
+                r["reason"]: r["n"]
+                for r in written.select(
+                    F.explode("drop_reasons").alias("reason")
+                )
+                .groupBy("reason")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        manifest.commit(b, entry)
         done += 1
         if fail_after is not None and done >= fail_after:
             raise RuntimeError(f"injected failure after {done} buckets")
