@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_token_stats"] = lambda s, d: textops.bpe_token_stats(
         _t(s, d, "documents")
     )
+    q["rolling_fingerprint"] = lambda s, d: textops.rolling_fingerprint(
+        _t(s, d, "documents")
+    )
 
     # -- dedup family
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents"))
@@ -334,6 +337,11 @@ SELECT doc_id,
     0.0), 6) AS chars_per_token
 FROM documents
 """
+    norm_sql = "trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))"
+    o["rolling_fingerprint"] = (
+        f"SELECT doc_id, {dedup.poly_hash_sql(norm_sql)} AS rolling_hash "
+        "FROM documents"
+    )
     o["length_quality_ramp"] = """
 SELECT doc_id, n_chars,
   round(greatest(least(

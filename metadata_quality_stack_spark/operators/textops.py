@@ -195,3 +195,17 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rabin-Karp-style rolling polynomial fingerprint (h = 31h + c mod
+    2^55) over the whitespace-normalized lowercased text — the task's
+    'document fingerprinting (rolling hash)', complementing the md5
+    fingerprints (doc_fingerprint). Same 55-bit char hash the SimHash
+    path uses, so the DuckDB mirror is shared (dedup.poly_hash_sql)."""
+    from metadata_quality_stack_spark.operators.dedup import _poly_hash
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r]+", " ")
+    )
+    return docs.select("doc_id", _poly_hash(norm).alias("rolling_hash"))
