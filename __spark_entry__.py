@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").filter(F.col("doc_id") < JACCARD_MAX_DOC)
     )
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
+    q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
 
     # -- flagship full pipeline (model UDFs not SQL-expressible: rows-only
     # driver check; exact parity is pinned by tests/test_pipeline_f1.py
@@ -397,6 +398,23 @@ FROM documents
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
         "AND a.doc_id < b.doc_id"
     )
+    # connected components over the candidate graph: min reachable doc_id
+    # per node via a recursive CTE (the SQL twin of the Spark label loop)
+    o["dedup_clusters"] = f"""
+{bands_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  AND a.doc_id < b.doc_id
+),
+edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+reach(doc_id, cluster) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d1, r.cluster FROM edges e JOIN reach r ON e.d2 = r.doc_id
+)
+SELECT doc_id, min(cluster) AS cluster FROM reach GROUP BY doc_id
+"""
     o["ngram_jaccard_pairs"] = f"""
 WITH lim AS (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
 sh AS (SELECT doc_id, unnest({sh}) AS s FROM lim),

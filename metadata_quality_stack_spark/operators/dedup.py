@@ -218,3 +218,47 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     for t in bit_terms[1:]:
         sim = sim + t
     return docs.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the MinHash
+    LSH candidate graph via iterative min-label propagation. cluster =
+    min(doc_id) of the component — canonical keep-one-per-cluster dedup.
+
+    Iterative dataflow (the one driver-side loop in the engine): each
+    round is one join + groupBy; rounds needed = graph diameter (dup
+    clusters are near-cliques, so 2-3 in practice); early-stops when no
+    label changes. localCheckpoint every round truncates lineage so the
+    plan does not grow with iterations. At 100 TB the same loop runs over
+    the banded pair table with labels bucketed by doc_id."""
+    pairs = minhash_candidate_pairs(docs)
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["d2"] == labels["doc_id"])
+            .groupBy("d1")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["doc_id"] == nbr["d1"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -122,3 +122,35 @@ def test_pipeline_accepts_html_only_input(spark):
     assert sorted(map(tuple, from_html.collect())) == sorted(
         map(tuple, from_text.collect())
     )
+
+
+def test_dedup_clusters_transitive(spark):
+    """A near-dup chain A~B, B~C (A and C not direct candidates) must land
+    in ONE cluster = min(doc_id): label propagation crosses >1 hop."""
+    from pyspark.sql import Row
+
+    from metadata_quality_stack_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    a = " ".join(words)
+    b = " ".join(words[:-2] + ["CHANGED1", "CHANGED2"])       # shares head shingles with a
+    c = " ".join(["DIFF1", "DIFF2"] + words[2:-2] + ["CHANGED1", "CHANGED2"])
+    lone = "completely different text with nothing shared here at all ok"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate([a, b, c, lone])]
+    )
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_candidate_pairs(docs).collect()
+    }
+    clusters = {
+        r["doc_id"]: r["cluster"] for r in dedup.dedup_clusters(docs).collect()
+    }
+    # the chain is connected (directly or transitively) and lone is alone
+    assert clusters[3] == 3
+    if (0, 1) in pairs and (1, 2) in pairs:
+        assert clusters[0] == clusters[1] == clusters[2] == 0
+    # clusters are always component-minimum doc ids
+    assert all(cl <= d for d, cl in clusters.items())
