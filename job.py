@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--salts", type=int, default=16,
                     help="salt count for domain-skew repartitioning")
     ap.add_argument("--include-text", action="store_true", default=True)
+    ap.add_argument("--partition-by-day", action="store_true",
+                    help="hive-partition each bucket's output by warc day "
+                         "(partition pruning for day-scoped readers)")
     args = ap.parse_args()
 
     from metadata_quality_stack_spark import get_spark
@@ -59,19 +62,26 @@ def main() -> None:
 
     def transform(bucket_df):
         id_cols = ("url", "warc_ts") if "warc_ts" in bucket_df.columns else ("url",)
-        return quality_pipeline(
+        out = quality_pipeline(
             bucket_df.drop("domain"),
             id_cols=id_cols,
             lang_col="lang" if "lang" in bucket_df.columns else None,
             profile=args.profile,
             include_text=args.include_text,
         )
+        if args.partition_by_day and "warc_ts" in out.columns:
+            out = out.withColumn("day", F.to_date("warc_ts"))
+        return out
 
     stats = run_incremental(
-        spark, pages, args.output, transform, key_col="url", n_buckets=args.buckets
+        spark, pages, args.output, transform, key_col="url",
+        n_buckets=args.buckets,
+        partition_by="day" if args.partition_by_day else None,
     )
 
-    results = spark.read.parquet(os.path.join(args.output, "bucket=*"))
+    results = spark.read.option("basePath", args.output).parquet(
+        os.path.join(args.output, "bucket=*")
+    )
     metrics_dir = os.path.join(args.output, "_metrics")
     for name, df in partition_metrics(results).items():
         df.coalesce(1).write.mode("overwrite").parquet(

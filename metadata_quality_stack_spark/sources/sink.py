@@ -53,9 +53,15 @@ def run_incremental(
     key_col: str = "url",
     n_buckets: int = 8,
     fail_after: int | None = None,
+    partition_by: str | None = None,
 ) -> dict:
     """Run ``transform(bucket_df)`` bucket-by-bucket with checkpointed
-    commits. ``fail_after`` injects a crash after N buckets (tests)."""
+    commits. ``fail_after`` injects a crash after N buckets (tests).
+
+    ``partition_by`` (e.g. a ``day`` column the transform emits) layers a
+    hive-partitioned layout inside each bucket — downstream readers that
+    filter on it get partition pruning at the scan (the 100 TB results
+    table is day × bucket)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = SnapshotManifest(out_dir)
     bucket_col = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
@@ -67,7 +73,10 @@ def run_incremental(
         part = input_df.filter(bucket_col == b)
         result = transform(part)
         path = os.path.join(out_dir, f"bucket={b}")
-        result.write.mode("overwrite").parquet(path)
+        writer = result.write.mode("overwrite")
+        if partition_by and partition_by in result.columns:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
         written = spark.read.parquet(path)
         aggs = [
             F.count("*").alias("rows"),
@@ -106,4 +115,8 @@ def run_incremental(
 
 
 def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "bucket=*"))
+    # basePath so nested hive layouts (bucket=*/day=*) unify into one read
+    # with bucket and any inner partition columns exposed for pruning
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "bucket=*")
+    )

@@ -64,3 +64,43 @@ def test_rerun_skips_completed(spark):
         assert m1 == m2  # second run did nothing (wall_s identical)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_day_partitioned_sink_prunes(spark, tmp_path):
+    """partition_by layers day=... dirs inside each bucket; a day filter
+    on the reader hits partition pruning (PartitionFilters in the scan)."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+    from metadata_quality_stack_spark.sources.pages import pages_spark_df
+    from metadata_quality_stack_spark.sources.sink import run_incremental
+
+    pages = pages_spark_df(spark, 150, seed=17)
+    out = str(tmp_path / "out")
+
+    def transform(df):
+        scored = quality_pipeline(df, id_cols=("url", "warc_ts"), lang_col="lang",
+                                  include_text=False)
+        return scored.withColumn("day", F.to_date("warc_ts"))
+
+    stats = run_incremental(
+        spark, pages, out, transform, n_buckets=4, partition_by="day"
+    )
+    assert stats["rows"] == 150
+    bucket0 = os.path.join(out, "bucket=0")
+    assert any(d.startswith("day=") for d in os.listdir(bucket0))
+    # multiple partitioned roots need basePath; bucket + day both become
+    # partition columns of the unified read
+    result = spark.read.option("basePath", out).parquet(
+        os.path.join(out, "bucket=*")
+    )
+    assert result.count() == 150
+    one_day = result.select("day").first()["day"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        result.filter(F.col("day") == F.lit(one_day)).explain("formatted")
+    assert "PartitionFilters: [isnotnull(day" in buf.getvalue()
