@@ -215,6 +215,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["orders_by_nation"] = orders_by_nation
+
+    def top_parts_by_revenue(s: SparkSession, d: str) -> DataFrame:
+        li = _t(s, d, "lineitem")
+        p = _t(s, d, "part")
+        rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        return (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_partkey", "p_name")
+            .agg(F.round(rev, 2).alias("revenue"), F.count("*").alias("n_lines"))
+            .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+            .limit(10)
+        )
+
+    q["top_parts_by_revenue"] = top_parts_by_revenue
+
+    def suppliers_by_region(s: SparkSession, d: str) -> DataFrame:
+        su = _t(s, d, "supplier")
+        n = _t(s, d, "nation")
+        r = _t(s, d, "region")
+        return (
+            su.join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_suppliers"),
+                F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+            )
+        )
+
+    q["suppliers_by_region"] = suppliers_by_region
     return q
 
 
@@ -575,6 +605,20 @@ SELECT l_returnflag, l_linestatus,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+    o["top_parts_by_revenue"] = """
+SELECT p_partkey, p_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name
+ORDER BY revenue DESC, p_partkey ASC LIMIT 10
+"""
+    o["suppliers_by_region"] = """
+SELECT r_name, count(*) AS n_suppliers, round(avg(s_acctbal), 4) AS avg_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """
     o["orders_by_nation"] = """
 SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_totalprice
