@@ -512,10 +512,13 @@ WITH m AS (
      || encode(text)) AS payload
   FROM documents
 )"""
+    # DuckDB sum(INTEGER) yields HUGEINT (int128), which pandas renders as
+    # float/object and the driver's value hash sees differently from
+    # Spark's BIGINT — cast every integer-sum aggregate explicitly.
     o["media_stats"] = (
         f"{media_cte} "
         "SELECT media_type AS sniffed_type, count(*) AS n_items, "
-        "sum(octet_length(payload)) AS total_bytes, "
+        "CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes, "
         "round(avg(octet_length(payload)), 4) AS avg_bytes FROM m GROUP BY media_type"
     )
     o["media_decode"] = f"""{media_cte},

@@ -55,7 +55,8 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sp = normalize(fn(spark, SF_DIR).toPandas())
+            sp_raw = fn(spark, SF_DIR).toPandas()
+            sp = normalize(sp_raw)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -64,7 +65,15 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows-only) — {len(sp)} rows")
             continue
         try:
-            dk = normalize(con.execute(oracles[name]).fetchdf())
+            dk_raw = con.execute(oracles[name]).fetchdf()
+            # surface pre-normalization dtype drift (e.g. DuckDB HUGEINT ->
+            # float64/object) that the int64 coercion below would hide but
+            # the driver's value hash does not
+            for c in sorted(set(sp_raw.columns) & set(dk_raw.columns)):
+                sd, dd = str(sp_raw[c].dtype), str(dk_raw[c].dtype)
+                if sd != dd and not (sd == "object" and dd == "object"):
+                    print(f"WARN {name}: dtype drift col {c}: spark={sd} duckdb={dd}")
+            dk = normalize(dk_raw)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
