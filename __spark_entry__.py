@@ -413,8 +413,11 @@ FROM documents
         parts = " || '|' || ".join(
             f"coalesce(CAST(mh{b * rpb + i} AS VARCHAR), '')" for i in range(rpb)
         )
+        # mh0 IS NOT NULL mirrors dedup.minhash_bands: no-shingle docs are
+        # excluded from banding (the degenerate shared-bucket guard)
         band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig"
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig "
+            "WHERE mh0 IS NOT NULL"
         )
     bands_cte = (
         f"WITH sh AS (SELECT doc_id, {sh} AS shingles FROM documents),\n"

@@ -100,8 +100,15 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """LSH banding: band bucket = md5(concat of the band's minhashes).
-    Output one row per (doc, band) — the shuffle-side key for candidate join."""
-    sigs = minhash_signatures(docs)
+    Output one row per (doc, band) — the shuffle-side key for candidate join.
+
+    Docs with no shingles (< 3 tokens) are EXCLUDED: their signature is
+    all-NULL, and keeping them would give every empty/boilerplate-short
+    page the same bucket — at crawl scale (billions of such pages) the
+    bucket self-join in minhash_candidate_pairs goes quadratic on exactly
+    that bucket. Short docs belong to exact dedup (exact_dedup_groups),
+    not LSH; they come out of dedup_clusters as singletons."""
+    sigs = minhash_signatures(docs).filter(F.col("mh0").isNotNull())
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = []
     for b in range(N_BANDS):
@@ -242,23 +249,23 @@ def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
             .groupBy("d1")
             .agg(F.min("cluster").alias("nbr_min"))
         )
+        # change detection folds into the same projection (old vs new label
+        # comparison), so each round is exactly one join + one groupBy —
+        # no second join-and-count pass over the labels
+        new_label = F.least(
+            F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+        )
         new = (
             labels.join(nbr, labels["doc_id"] == nbr["d1"], "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-                ).alias("cluster"),
+                new_label.alias("cluster"),
+                (new_label < F.col("cluster")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_changed")).count()  # reads the checkpoint
+        labels = new.drop("_changed")
         if changed == 0:
             break
-    return labels
+    return labels.select("doc_id", "cluster")

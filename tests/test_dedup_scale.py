@@ -1,0 +1,66 @@
+"""LSH banding scale-safety: no-shingle (< 3 token) docs must not share a
+degenerate band bucket, or the candidate self-join goes quadratic on
+exactly the rows a web crawl has billions of (empty/boilerplate-short
+pages). See VERDICT r1 'What's wrong #2'."""
+
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import dedup
+
+
+def _corpus(spark, n_short=1000):
+    """n_short docs with < 3 tokens (no shingles) + 3 pairs of true dups."""
+    short = [(i, ["", "x", "a b"][i % 3]) for i in range(n_short)]
+    dup_text = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today ok",
+        "how vexingly quick daft zebras jump over fences at night now",
+    ]
+    dups = [(n_short + i, dup_text[i % 3]) for i in range(6)]
+    return spark.createDataFrame(short + dups, "doc_id long, text string")
+
+
+def test_short_docs_excluded_from_bands(spark):
+    docs = _corpus(spark)
+    bands = dedup.minhash_bands(docs)
+    # only the 6 dup docs have shingles -> 6 * N_BANDS band rows
+    assert bands.count() == 6 * dedup.N_BANDS
+    assert bands.filter(F.col("doc_id") < 1000).count() == 0
+
+
+def test_candidate_pairs_stay_linear(spark):
+    """1000 no-shingle docs + 3 dup pairs: pairs must be O(dups), not the
+    ~500k an all-in-one-bucket join would produce."""
+    docs = _corpus(spark)
+    pairs = dedup.minhash_candidate_pairs(docs).collect()
+    assert len(pairs) == 3
+    assert all(r.d1 >= 1000 and r.d2 >= 1000 for r in pairs)
+
+
+def test_short_docs_are_singleton_clusters(spark):
+    docs = _corpus(spark)
+    clusters = dedup.dedup_clusters(docs)
+    # every doc still gets a label; short docs are their own cluster
+    assert clusters.count() == 1006
+    own = clusters.filter(
+        (F.col("doc_id") < 1000) & (F.col("cluster") == F.col("doc_id"))
+    )
+    assert own.count() == 1000
+    # the 3 dup pairs collapse to 3 clusters of 2
+    dup_clusters = (
+        clusters.filter(F.col("doc_id") >= 1000)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(r.n for r in dup_clusters) == [2, 2, 2]
+
+
+def test_exact_dedup_still_covers_short_docs(spark):
+    """The short docs LSH skips are exactly what exact dedup catches."""
+    docs = _corpus(spark)
+    groups = dedup.exact_dedup_groups(docs.filter(F.col("doc_id") < 1000))
+    rows = {r.fingerprint: r.n_dups for r in groups.collect()}
+    # 3 distinct short texts, each duplicated ~333x
+    assert len(rows) == 3
+    assert sum(rows.values()) == 1000
