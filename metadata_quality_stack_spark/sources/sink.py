@@ -3,17 +3,28 @@ mid-run resume (north rule: "resumable from checkpoint with per-partition
 lineage + metrics").
 
 Unit of commit = bucket (pmod(xxhash64(url), n_buckets)). At 100 TB the
-bucket is the input's physical partition (crawl shard / warc day) so each
-incremental pass prunes at the scan; here buckets are hash-derived because
-the toy corpus is one file. Protocol per bucket:
+bucket maps to the input's physical partition (crawl shard / warc day);
+here buckets are hash-derived because the toy corpus is one file.
 
-  1. write parquet to  <out>/bucket=<b>/        (overwrite -> idempotent)
-  2. append {bucket, rows, kept, wall_s} to <out>/_manifest.json (atomic
-     rename), including per-bucket lineage metrics
+Protocol per run (ONE pass over the input regardless of bucket count):
 
-A rerun skips every bucket already in the manifest; a bucket killed
-mid-write is simply overwritten on the next run — no duplicates
-(SURVEY.md §5.2 item 6 kill-and-rerun test).
+  1. filter the input to not-yet-committed buckets (single predicate)
+  2. transform once, tag rows with their bucket, write
+     ``partitionBy(bucket)`` under dynamic partition overwrite — only the
+     rewritten ``bucket=<b>/`` dirs are replaced, committed buckets are
+     untouched
+  3. compute per-bucket lineage metrics (rows, kept, scrub counts,
+     drop-reason histogram) in one aggregation over the written output
+     (partition-pruned to the remaining buckets)
+  4. append each bucket's entry to ``<out>/_manifest.json`` (atomic
+     rename snapshot)
+
+A rerun skips every bucket already in the manifest; a run killed
+mid-write left the manifest unchanged, so the next run rewrites exactly
+the uncommitted partitions — idempotent, no duplicates, no holes
+(SURVEY.md §5.2 item 6 kill-and-rerun test). The earlier design filtered
+and transformed once PER bucket, re-scanning the full input n_buckets
+times (VERDICT r1 "What's wrong #3") — this one scans once per run.
 """
 
 from __future__ import annotations
@@ -55,8 +66,9 @@ def run_incremental(
     fail_after: int | None = None,
     partition_by: str | None = None,
 ) -> dict:
-    """Run ``transform(bucket_df)`` bucket-by-bucket with checkpointed
-    commits. ``fail_after`` injects a crash after N buckets (tests).
+    """Run ``transform`` over all not-yet-committed buckets in ONE pass,
+    then commit buckets to the manifest. ``fail_after`` injects a crash
+    after N commits (tests). ``transform`` must preserve ``key_col``.
 
     ``partition_by`` (e.g. a ``day`` column the transform emits) layers a
     hive-partitioned layout inside each bucket — downstream readers that
@@ -64,49 +76,79 @@ def run_incremental(
     table is day × bucket)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = SnapshotManifest(out_dir)
-    bucket_col = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
-    done = 0
-    for b in range(n_buckets):
-        if manifest.done(b):
-            continue
+    remaining = [b for b in range(n_buckets) if not manifest.done(b)]
+    if remaining:
         t0 = time.time()
-        part = input_df.filter(bucket_col == b)
-        result = transform(part)
-        path = os.path.join(out_dir, f"bucket={b}")
-        writer = result.write.mode("overwrite")
+        bucket_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        part = input_df
+        if len(remaining) < n_buckets:
+            part = input_df.filter(bucket_of.isin([int(b) for b in remaining]))
+        result = transform(part).withColumn("bucket", bucket_of)
+        part_cols = ["bucket"]
         if partition_by and partition_by in result.columns:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(path)
-        written = spark.read.parquet(path)
+            part_cols.append(partition_by)
+        # dynamic overwrite replaces only the partitions present in the
+        # data; committed bucket=<b> dirs and _manifest.json stay intact
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            result.write.mode("overwrite").partitionBy(*part_cols).parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        wall_s = round((time.time() - t0) / len(remaining), 3)
+
+        have_dirs = any(
+            d.startswith("bucket=") for d in os.listdir(out_dir)
+        )
+        if not have_dirs:  # every remaining bucket was empty
+            for b in remaining:
+                manifest.commit(b, {"rows": 0, "kept": 0, "wall_s": wall_s})
+            return {
+                "buckets": n_buckets,
+                "rows": sum(e["rows"] for e in manifest.entries.values()),
+                "kept": sum(e["kept"] for e in manifest.entries.values()),
+            }
+        written = read_results(spark, out_dir).filter(
+            F.col("bucket").isin([int(b) for b in remaining])
+        )
         aggs = [
             F.count("*").alias("rows"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
         ]
-        if "scrub_count" in written.columns:
+        has_scrub = "scrub_count" in written.columns
+        if has_scrub:
             aggs.append(F.sum("scrub_count").alias("scrubbed"))
-        stats = written.agg(*aggs).collect()[0]
-        entry = {
-            "rows": int(stats["rows"]),
-            "kept": int(stats["kept"] or 0),
-            "wall_s": round(time.time() - t0, 3),
+        per_bucket = {
+            int(r["bucket"]): r
+            for r in written.groupBy("bucket").agg(*aggs).collect()
         }
-        if "scrub_count" in written.columns:
-            entry["scrubbed"] = int(stats["scrubbed"] or 0)
+        drop_hist: dict[int, dict[str, int]] = {}
         if "drop_reasons" in written.columns:
             # per-bucket lineage: why documents were dropped, histogram
-            entry["drop_reasons"] = {
-                r["reason"]: r["n"]
-                for r in written.select(
-                    F.explode("drop_reasons").alias("reason")
-                )
-                .groupBy("reason")
+            for r in (
+                written.select("bucket", F.explode("drop_reasons").alias("reason"))
+                .groupBy("bucket", "reason")
                 .agg(F.count("*").alias("n"))
                 .collect()
+            ):
+                drop_hist.setdefault(int(r["bucket"]), {})[r["reason"]] = int(r["n"])
+
+        done = 0
+        for b in remaining:
+            stats = per_bucket.get(b)
+            entry = {
+                "rows": int(stats["rows"]) if stats else 0,
+                "kept": int(stats["kept"] or 0) if stats else 0,
+                "wall_s": wall_s,
             }
-        manifest.commit(b, entry)
-        done += 1
-        if fail_after is not None and done >= fail_after:
-            raise RuntimeError(f"injected failure after {done} buckets")
+            if has_scrub:
+                entry["scrubbed"] = int(stats["scrubbed"] or 0) if stats else 0
+            if b in drop_hist:
+                entry["drop_reasons"] = drop_hist[b]
+            manifest.commit(b, entry)
+            done += 1
+            if fail_after is not None and done >= fail_after:
+                raise RuntimeError(f"injected failure after {done} buckets")
     return {
         "buckets": n_buckets,
         "rows": sum(e["rows"] for e in manifest.entries.values()),

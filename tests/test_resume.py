@@ -53,6 +53,39 @@ def test_kill_and_rerun_identical(spark):
         shutil.rmtree(resumed_dir, ignore_errors=True)
 
 
+def test_single_scan_regardless_of_buckets(spark):
+    """The sink must process all uncommitted buckets in ONE pass over the
+    input: transform is invoked once, not once per bucket (the per-bucket
+    full-rescan anti-pattern from round 1)."""
+    docs = pages_spark_df(spark, n_rows=200, seed=23)
+    out = tempfile.mkdtemp()
+    calls = []
+
+    def counting_transform(df):
+        calls.append(1)
+        return _transform(df)
+
+    try:
+        stats = run_incremental(
+            spark, docs, out, counting_transform, n_buckets=8
+        )
+        assert stats["rows"] == 200
+        assert len(calls) == 1
+        # resume path: 3 committed, 5 remaining -> still one transform call
+        m = SnapshotManifest(out)
+        for b in (0, 1, 2):
+            del m.entries[str(b)]
+        m.commit(3, m.entries["3"])  # persist the trimmed manifest
+        del calls[:]
+        stats = run_incremental(
+            spark, docs, out, counting_transform, n_buckets=8
+        )
+        assert stats["rows"] == 200
+        assert len(calls) == 1
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_rerun_skips_completed(spark):
     docs = pages_spark_df(spark, n_rows=120, seed=17)
     out = tempfile.mkdtemp()
