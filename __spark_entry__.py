@@ -45,6 +45,16 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.scored_documents(_t(spark, sf_dir, "documents"))
 
 
+def _scored_nti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scoring profile (NTI-RISP analog: different rule selection,
+    budgets 100/50/105/40/15, thresholds 264/166/91; config.py)."""
+    return apply_quality(
+        _t(spark, sf_dir, "documents"),
+        meta_cols=analytics.DOC_META,
+        profile="webtext_nti_native",
+    )
+
+
 # --------------------------------------------------------------------------
 # entry: flagship — full native quality pipeline on sf0.001
 # --------------------------------------------------------------------------
@@ -74,6 +84,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", *config.DIMENSIONS, "total_score", "rating", "keep"
     )
     q["rating_histogram"] = lambda s, d: analytics.rating_histogram(_scored(s, d))
+    q["quality_scores_nti"] = lambda s, d: _scored_nti(s, d).select(
+        "doc_id", *config.DIMENSIONS, "total_score", "rating", "keep"
+    )
+    q["rating_histogram_nti"] = lambda s, d: analytics.rating_histogram(
+        _scored_nti(s, d)
+    )
     q["dimension_stats"] = lambda s, d: analytics.dimension_stats(_scored(s, d))
     q["corpus_summary"] = lambda s, d: analytics.corpus_summary(_scored(s, d))
     q["top_sources"] = lambda s, d: analytics.top_sources(_scored(s, d))
@@ -263,6 +279,15 @@ def oracle_sql() -> dict[str, str]:
     )
     o["rating_histogram"] = (
         f"WITH scored AS ({scored}) "
+        "SELECT rating, count(*) AS n_docs FROM scored GROUP BY rating"
+    )
+    scored_nti = sqlgen.native_scoring_sql(profile="webtext_nti_native")
+    o["quality_scores_nti"] = (
+        f"WITH scored AS ({scored_nti}) SELECT doc_id, {', '.join(dims)}, "
+        "total_score, rating, keep FROM scored"
+    )
+    o["rating_histogram_nti"] = (
+        f"WITH scored AS ({scored_nti}) "
         "SELECT rating, count(*) AS n_docs FROM scored GROUP BY rating"
     )
     o["dimension_stats"] = f"WITH scored AS ({scored}) " + " UNION ALL ".join(

@@ -78,21 +78,70 @@ WEBTEXT_RULES: list[dict] = [
 
 DIMENSIONS = ["findability", "accessibility", "interoperability", "reusability", "contextuality"]
 
-DIMENSION_MAX = {  # reference config.py:327-335 (dcat_ap_es row)
-    "findability": 100,
-    "accessibility": 100,
-    "interoperability": 110,
-    "reusability": 75,
-    "contextuality": 20,
+# --------------------------------------------------------------------------
+# Second profile — the NTI-RISP analog (reference config.py:262-316
+# nti_risp row: COMMON_METRICS + NTI_RISP_SPECIFIC_METRICS, max 310).
+# Shared rules keep their weights; the profile differs by rule SELECTION,
+# dimension budgets (100/50/105/40/15) and rating thresholds (264/166/91),
+# exactly as nti_risp differs from dcat_ap_es. ``ascii_ratio`` is the
+# profile-SPECIFIC rule (the nti_risp_compliance slot, weight 30) — it
+# exists only here, which is what makes the content-path checker
+# registration quirk (validators.py:1053, SURVEY §2.5) observable.
+# --------------------------------------------------------------------------
+WEBTEXT_NTI_RULES: list[dict] = [
+    # findability 100 (common block, all four rules shared)
+    {"id": "word_count", "dimension": "findability", "weight": 30, "kind": "binary"},
+    {"id": "mean_word_length", "dimension": "findability", "weight": 30, "kind": "binary"},
+    {"id": "alpha_ratio", "dimension": "findability", "weight": 20, "kind": "fraction"},
+    {"id": "line_uniqueness", "dimension": "findability", "weight": 20, "kind": "fraction"},
+    # accessibility 50 (common keeps only the accessURL_status slot)
+    {"id": "terminal_punct", "dimension": "accessibility", "weight": 50, "kind": "fraction"},
+    # interoperability 105 = 20+10 common + 5+20+20+30 nti-specific
+    {"id": "langid_match", "dimension": "interoperability", "weight": 20, "kind": "model"},
+    {"id": "langid_confidence", "dimension": "interoperability", "weight": 10, "kind": "model"},
+    {"id": "stopword_density", "dimension": "interoperability", "weight": 5, "kind": "binary"},
+    {"id": "symbol_ratio", "dimension": "interoperability", "weight": 20, "kind": "binary"},
+    {"id": "bullet_free", "dimension": "interoperability", "weight": 20, "kind": "fraction"},
+    {"id": "ascii_ratio", "dimension": "interoperability", "weight": 30, "kind": "fraction"},
+    # reusability 40 = license + license_vocabulary + publisher slots
+    {"id": "word_diversity", "dimension": "reusability", "weight": 20, "kind": "fraction"},
+    {"id": "digit_ratio", "dimension": "reusability", "weight": 10, "kind": "binary"},
+    {"id": "pii_email_free", "dimension": "reusability", "weight": 10, "kind": "binary"},
+    # contextuality 15 (common: byteSize/issued/modified slots)
+    {"id": "chars_consistent", "dimension": "contextuality", "weight": 5, "kind": "binary"},
+    {"id": "lang_present", "dimension": "contextuality", "weight": 5, "kind": "binary"},
+    {"id": "source_present", "dimension": "contextuality", "weight": 5, "kind": "binary"},
+]
+
+DIMENSION_MAX_BY_PROFILE = {  # reference config.py:327-349
+    "webtext": {
+        "findability": 100,
+        "accessibility": 100,
+        "interoperability": 110,
+        "reusability": 75,
+        "contextuality": 20,
+    },
+    "webtext_nti": {
+        "findability": 100,
+        "accessibility": 50,
+        "interoperability": 105,
+        "reusability": 40,
+        "contextuality": 15,
+    },
 }
 
-MAX_SCORE = 405  # reference config.py:321-325
+MAX_SCORE_BY_PROFILE = {"webtext": 405, "webtext_nti": 310}  # config.py:321-325
 
-RATING_THRESHOLDS = {  # reference config.py:30-46 (dcat_ap_es)
-    "excellent": 351,
-    "good": 221,
-    "sufficient": 121,
+RATING_THRESHOLDS_BY_PROFILE = {  # reference config.py:30-46
+    "webtext": {"excellent": 351, "good": 221, "sufficient": 121},
+    "webtext_nti": {"excellent": 264, "good": 166, "sufficient": 91},
 }
+
+# back-compat aliases (default profile, like the reference's
+# RATING_THRESHOLDS = RATING_THRESHOLDS_BY_PROFILE["dcat_ap_es"])
+DIMENSION_MAX = DIMENSION_MAX_BY_PROFILE["webtext"]
+MAX_SCORE = MAX_SCORE_BY_PROFILE["webtext"]
+RATING_THRESHOLDS = RATING_THRESHOLDS_BY_PROFILE["webtext"]
 
 RATINGS = ["Excellent", "Good", "Sufficient", "Bad"]
 
@@ -108,12 +157,50 @@ HARD_RULES = [
     "perplexity_ok",     # gibberish (model rule, full profile)
 ]
 
-# Profiles: "webtext" = full rule set (models included); "webtext_native" =
+# Profiles: "<name>" = full rule set (models included); "<name>_native" =
 # only rules expressible as native SQL (the DuckDB-oracle-checkable subset).
 RULES_BY_PROFILE = {
     "webtext": WEBTEXT_RULES,
     "webtext_native": [r for r in WEBTEXT_RULES if r["kind"] != "model"],
+    "webtext_nti": WEBTEXT_NTI_RULES,
+    "webtext_nti_native": [r for r in WEBTEXT_NTI_RULES if r["kind"] != "model"],
 }
+
+DEFAULT_PROFILE = "webtext"
+
+
+def base_profile(profile: str) -> str:
+    """'webtext_nti_native[_content]' -> 'webtext_nti' (thresholds lookup)."""
+    for suffix in ("_content", "_native"):
+        if profile.endswith(suffix):
+            profile = profile[: -len(suffix)]
+    return profile
+
+
+def thresholds_for(profile: str) -> dict[str, int]:
+    return RATING_THRESHOLDS_BY_PROFILE[base_profile(profile)]
+
+
+def resolve_profile(profile: str, via_content: bool = False) -> str:
+    """Profile resolution including the reference's content-path quirk.
+
+    ``validate_metadata_from_content`` registers checkers for the DEFAULT
+    profile regardless of the requested model (validators.py:1053 calls
+    ``register_standard_checkers()`` with no argument), so profile-only
+    metrics are silently skipped on the content path (validators.py:925-927)
+    while rating thresholds still come from the requested model. We
+    reproduce that faithfully: the returned content-variant profile keeps
+    the requested profile's thresholds but drops rules whose id is not in
+    the default profile's checker registry."""
+    if not via_content:
+        return profile
+    registered = {r["id"] for r in RULES_BY_PROFILE[DEFAULT_PROFILE]}
+    content_name = profile + "_content"
+    if content_name not in RULES_BY_PROFILE:
+        RULES_BY_PROFILE[content_name] = [
+            r for r in RULES_BY_PROFILE[profile] if r["id"] in registered
+        ]
+    return content_name
 
 # --------------------------------------------------------------------------
 # Broadcast vocabularies (analog of docs/vocabularies/*.csv, config.py:182-195)

@@ -31,6 +31,9 @@ EDGE_WS = "^" + WS_CLASS + "+|" + WS_CLASS + "+$"
 
 ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 DIGIT_CHARS = "0123456789"
+# printable ASCII (0x20..0x7E) + tab/newline/CR — the ascii_ratio rule's
+# allowed set (nti-profile compliance slot); regex twin: [ -~\t\n\r]
+ASCII_CHARS = "".join(chr(c) for c in range(0x20, 0x7F)) + "\t\n\r"
 
 
 def edge_trimmed(text: Column) -> Column:
@@ -139,6 +142,7 @@ def feature_columns(
         "sum_word_len": F.length(text) - n_ws,
         "n_alpha": chars_in_set(text, ALPHA_CHARS),
         "n_digit": chars_in_set(text, DIGIT_CHARS),
+        "n_ascii": chars_in_set(text, ASCII_CHARS),
         "n_ws": n_ws,
         "n_symbols": (
             chars_in_set(text, "#") + substr_occurrences(text, "...")

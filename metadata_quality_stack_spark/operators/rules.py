@@ -73,6 +73,7 @@ def native_rule_percentages(
             & (mwl <= c.MAX_MEAN_WORD_LEN)
         ),
         "alpha_ratio": safe_div(feats["n_alpha"], feats["n_chars_txt"]),
+        "ascii_ratio": safe_div(feats["n_ascii"], feats["n_chars_txt"]),
         "line_uniqueness": safe_div(feats["n_distinct_raw_lines"], feats["n_raw_lines"]),
         "terminal_punct": safe_div(feats["n_terminal_punct_lines"], feats["n_lines"]),
         "ellipsis_free": safe_div(feats["n_lines"] - feats["n_ellipsis_lines"], feats["n_lines"]),
@@ -166,7 +167,7 @@ def score_columns(pcts: dict[str, Column], profile: str) -> dict[str, Column]:
         out[d] = dim_col
         total = dim_col if total is None else total + dim_col
     out["total_score"] = total.cast("int")
-    t = config.RATING_THRESHOLDS
+    t = config.thresholds_for(profile)
     out["rating"] = (
         F.when(out["total_score"] >= t["excellent"], "Excellent")
         .when(out["total_score"] >= t["good"], "Good")
@@ -274,11 +275,11 @@ def apply_quality(
     """Attach native-rule scoring columns to ``df`` (staged projections,
     one codegen stage, map-only).
 
-    For the full 'webtext' profile (model rules included) use
+    For full profiles (model rules included) use
     plans.pipeline.quality_pipeline, which wires the pandas-UDF scorers
     in front of this rollup.
     """
-    if profile != "webtext_native":
+    if any(r["kind"] == "model" for r in config.RULES_BY_PROFILE[profile]):
         raise ValueError("apply_quality only compiles native profiles; "
                          "use plans.pipeline.quality_pipeline for model rules")
     carry = list(df.columns)

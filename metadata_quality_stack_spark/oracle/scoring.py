@@ -60,6 +60,7 @@ def _features(text: str) -> dict:
         "sum_word_len": len(text) - n_ws,
         "n_alpha": sum(1 for c in text if ("a" <= c <= "z" or "A" <= c <= "Z")),
         "n_digit": sum(1 for c in text if "0" <= c <= "9"),
+        "n_ascii": sum(1 for c in text if "\x20" <= c <= "\x7e" or c in "\t\n\r"),
         "n_ws": n_ws,
         "n_symbols": text.count("#") + _count_nonoverlap(text, "..."),
         "n_raw_lines": len(raw_lines),
@@ -106,6 +107,7 @@ def _native_pcts(f: dict, lang, source, n_chars) -> dict[str, float]:
             wc > 0 and c.MIN_MEAN_WORD_LEN <= f["sum_word_len"] / wc <= c.MAX_MEAN_WORD_LEN
         ),
         "alpha_ratio": _safe_div(f["n_alpha"], nch),
+        "ascii_ratio": _safe_div(f["n_ascii"], nch),
         "line_uniqueness": _safe_div(f["n_distinct_raw_lines"], f["n_raw_lines"]),
         "terminal_punct": _safe_div(f["n_terminal_punct_lines"], nln),
         "ellipsis_free": _safe_div(nln - f["n_ellipsis_lines"], nln),
@@ -191,7 +193,7 @@ def score_pandas(
             ds = half_even_int(dim_sum.get(d, 0.0))
             rec[d] = ds
             total += ds
-        t = config.RATING_THRESHOLDS
+        t = config.thresholds_for(profile)
         rating = (
             "Excellent"
             if total >= t["excellent"]

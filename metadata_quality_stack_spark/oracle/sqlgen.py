@@ -70,6 +70,7 @@ def feature_select() -> str:
             "length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')))"
         ),
         "n_alpha": "length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))",
+        "n_ascii": "length(text) - length(regexp_replace(text, '[ -~\\t\\n\\r]', '', 'g'))",
         "n_digit": "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))",
         "n_ws": "length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))",
         "n_symbols": (
@@ -111,6 +112,7 @@ def native_pct_select(meta: dict[str, str | None]) -> str:
             f"n_words > 0 AND {mwl} >= {c.MIN_MEAN_WORD_LEN} AND {mwl} <= {c.MAX_MEAN_WORD_LEN}"
         ),
         "alpha_ratio": _safe_div("n_alpha", "n_chars_txt"),
+        "ascii_ratio": _safe_div("n_ascii", "n_chars_txt"),
         "line_uniqueness": _safe_div("n_distinct_raw_lines", "n_raw_lines"),
         "terminal_punct": _safe_div("n_terminal_punct_lines", "n_lines"),
         "ellipsis_free": _safe_div("n_lines - n_ellipsis_lines", "n_lines"),
@@ -167,17 +169,18 @@ def native_scoring_sql(
     id_col: str = "doc_id",
     meta: dict[str, str | None] | None = None,
     extra_cols: tuple[str, ...] = (),
+    profile: str = "webtext_native",
 ) -> str:
     """Full per-document scoring query (native profile) in DuckDB SQL."""
     if meta is None:
         meta = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
-    t = config.RATING_THRESHOLDS
+    t = config.thresholds_for(profile)
     carry_cols = [id_col, *extra_cols]
     carry = ", ".join(carry_cols)
     meta_src = ", ".join(sorted({v for v in meta.values() if v} - set(carry_cols)))
     meta_carry = f", {meta_src}" if meta_src else ""
     total = " + ".join(config.DIMENSIONS)
-    profile_ids = {r["id"] for r in config.RULES_BY_PROFILE["webtext_native"]}
+    profile_ids = {r["id"] for r in config.RULES_BY_PROFILE[profile]}
     hard = [rid for rid in config.HARD_RULES if rid in profile_ids]
     hard_carry = ", ".join(f"pct_{rid}" for rid in hard)
     hard_cond = " AND ".join(f"pct_{rid} >= 0.5" for rid in hard) or "TRUE"
@@ -197,7 +200,7 @@ WITH tok AS (
   FROM feat
 ), dims AS (
   SELECT {carry}, {hard_carry},
-    {score_select()}
+    {score_select(profile)}
   FROM pct
 )
 SELECT {carry},
