@@ -27,7 +27,7 @@ from metadata_quality_stack_spark.operators import (
     textops,
     vocab,
 )
-from metadata_quality_stack_spark.operators.rules import apply_quality
+from metadata_quality_stack_spark.operators.rules import apply_quality, metric_report
 from metadata_quality_stack_spark.oracle import sqlgen
 
 EVENTS_START = "2024-01-05 00:00:00"
@@ -115,6 +115,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["report_json"] = lambda s, d: textops.report_json(_scored(s, d))
+    # per-metric breakdown + nested DQV report (reference models.py:31-42,
+    # converters.py:70-137)
+    q["metric_report"] = lambda s, d: metric_report(
+        _t(s, d, "documents"), meta_cols=analytics.DOC_META
+    )
+    q["report_dqv"] = lambda s, d: textops.report_dqv(
+        _t(s, d, "documents"), meta_cols=analytics.DOC_META
+    )
     q["bpe_token_stats"] = lambda s, d: textops.bpe_token_stats(
         _t(s, d, "documents")
     )
@@ -419,6 +427,8 @@ FROM documents
         f"WITH scored AS ({scored}) "
         f"SELECT doc_id, printf('{dqv_fmt}', {dqv_args}) AS report FROM scored"
     )
+    o["metric_report"] = sqlgen.metric_report_sql()
+    o["report_dqv"] = sqlgen.dqv_report_sql()
 
     # -- dedup
     o["exact_dedup"] = (

@@ -265,6 +265,42 @@ def final_scores(
     return df.select(*cols)
 
 
+def metric_report(
+    df: DataFrame,
+    text_col: str = "text",
+    meta_cols: dict[str, str] | None = None,
+    profile: str = "webtext_native",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document per-METRIC breakdown — the reference's ``metrics[]``
+    report array (src/api/models.py:31-42: id/count/population/percentage/
+    points/weight per metric), long-format: one row per (doc, rule).
+
+    This is the "why was this document dropped" debugging surface: every
+    rule's percentage and earned points, not just the dimension rollup.
+    Map-only (scoring stages + explode of a literal-keyed struct array);
+    output rows = n_docs * n_rules."""
+    rules = config.RULES_BY_PROFILE[profile]
+    with_pcts = scoring_stages(df, text_col, meta_cols or {}, profile)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r["id"]).alias("metric"),
+                F.lit(r["dimension"]).alias("dimension"),
+                F.lit(int(r["weight"])).cast("int").alias("weight"),
+                F.round(F.col(f"pct_{r['id']}"), 6).alias("pct"),
+                F.round(
+                    F.col(f"pct_{r['id']}") * F.lit(float(r["weight"])), 4
+                ).alias("points"),
+            )
+            for r in rules
+        ]
+    )
+    return with_pcts.select(F.col(id_col), F.explode(entries).alias("m")).select(
+        id_col, "m.metric", "m.dimension", "m.weight", "m.pct", "m.points"
+    )
+
+
 def apply_quality(
     df: DataFrame,
     text_col: str = "text",

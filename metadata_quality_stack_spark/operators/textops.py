@@ -169,6 +169,63 @@ def report_json(scored: DataFrame) -> DataFrame:
     )
 
 
+# shared per-metric measurement template (Spark format_string / DuckDB
+# printf both implement C-style %s/%d/%.Nf, and inputs are pre-rounded so
+# the rendered bytes agree across engines)
+DQV_METRIC_TEMPLATE = (
+    '{"metric": "%s", "dimension": "%s", "weight": %d, '
+    '"percentage": %.6f, "points": %.4f}'
+)
+
+
+def report_dqv(
+    docs: DataFrame,
+    meta_cols: dict[str, str] | None = None,
+    profile: str = "webtext_native",
+) -> DataFrame:
+    """Nested DQV-style JSON report (reference converters.py:70-137): the
+    per-document quality report with the dimensions object AND a
+    ``measurements`` array carrying every metric's percentage, points and
+    weight — the full drop-reason debugging payload, one JSON string per
+    doc. Map-only: scoring stages + one formatting projection."""
+    from metadata_quality_stack_spark.operators.rules import apply_quality
+
+    scored = apply_quality(
+        docs, meta_cols=meta_cols or {}, profile=profile, keep_pcts=True
+    )
+    rules = config.RULES_BY_PROFILE[profile]
+    measurements = [
+        F.format_string(
+            DQV_METRIC_TEMPLATE,
+            F.lit(r["id"]),
+            F.lit(r["dimension"]),
+            F.lit(int(r["weight"])).cast("int"),
+            F.round(F.col(f"pct_{r['id']}"), 6),
+            F.round(F.col(f"pct_{r['id']}") * F.lit(float(r["weight"])), 4),
+        )
+        for r in rules
+    ]
+    dims_fmt = ", ".join(f'"{d}": %d' for d in config.DIMENSIONS)
+    head_fmt = (
+        '{"doc_id": %d, "totalScore": %d, "rating": "%s", "keep": %s, '
+        '"dimensions": {' + dims_fmt + '}, "measurements": ['
+    )
+    head = F.format_string(
+        head_fmt,
+        F.col("doc_id"),
+        F.col("total_score"),
+        F.col("rating"),
+        F.when(F.col("keep"), F.lit("true")).otherwise(F.lit("false")),
+        *[F.col(d) for d in config.DIMENSIONS],
+    )
+    return scored.select(
+        "doc_id",
+        F.concat(head, F.concat_ws(", ", *measurements), F.lit("]}")).alias(
+            "report"
+        ),
+    )
+
+
 # GPT-2-style pretokenizer, restricted to the Java/RE2/DuckDB-common subset
 # (no \p classes, no lookahead): contractions, letter runs, digit runs,
 # punctuation runs, whitespace runs.

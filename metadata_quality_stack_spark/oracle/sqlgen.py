@@ -164,6 +164,103 @@ def score_select(profile: str = "webtext_native") -> str:
     return ",\n    ".join(parts)
 
 
+def pct_with_clause(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    meta: dict[str, str | None] | None = None,
+) -> str:
+    """The shared ``WITH tok .. feat .. pct`` chain ending in a ``pct``
+    relation carrying ``{id_col}`` + every pct_<rule> column."""
+    if meta is None:
+        meta = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
+    meta_src = ", ".join(sorted({v for v in meta.values() if v} - {id_col}))
+    meta_carry = f", {meta_src}" if meta_src else ""
+    return f"""WITH tok AS (
+  SELECT {id_col}{meta_carry}, text,
+    {TOKS} AS toks,
+    {LOWS} AS lows
+  FROM {table}
+), feat AS (
+  SELECT {id_col}{meta_carry},
+    {feature_select()}
+  FROM tok
+), pct AS (
+  SELECT {id_col},
+    {native_pct_select(meta)}
+  FROM feat
+)"""
+
+
+def metric_report_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    profile: str = "webtext_native",
+) -> str:
+    """Long-format per-metric breakdown (rules.metric_report oracle)."""
+    rules = config.RULES_BY_PROFILE[profile]
+    selects = [
+        f"SELECT {id_col}, '{r['id']}' AS metric, "
+        f"'{r['dimension']}' AS dimension, "
+        f"CAST({int(r['weight'])} AS INTEGER) AS weight, "
+        f"round(pct_{r['id']}, 6) AS pct, "
+        f"round(pct_{r['id']} * {float(r['weight'])!r}, 4) AS points FROM pct"
+        for r in rules
+    ]
+    return pct_with_clause(table, id_col) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def dqv_report_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    meta: dict[str, str | None] | None = None,
+    profile: str = "webtext_native",
+    metric_template: str | None = None,
+) -> str:
+    """Nested DQV report JSON (textops.report_dqv oracle): dimensions
+    object + measurements array, byte-identical to the Spark rendering."""
+    from metadata_quality_stack_spark.operators.textops import DQV_METRIC_TEMPLATE
+
+    tmpl = (metric_template or DQV_METRIC_TEMPLATE).replace("'", "''")
+    t = config.thresholds_for(profile)
+    rules = config.RULES_BY_PROFILE[profile]
+    all_pcts = ", ".join(f"pct_{r['id']}" for r in rules)
+    total = " + ".join(config.DIMENSIONS)
+    profile_ids = {r["id"] for r in rules}
+    hard_cond = " AND ".join(
+        f"pct_{rid} >= 0.5" for rid in config.HARD_RULES if rid in profile_ids
+    ) or "TRUE"
+    m_parts = [
+        f"printf('{tmpl}', '{r['id']}', '{r['dimension']}', "
+        f"CAST({int(r['weight'])} AS INTEGER), round(pct_{r['id']}, 6), "
+        f"round(pct_{r['id']} * {float(r['weight'])!r}, 4))"
+        for r in rules
+    ]
+    measurements = "concat_ws(', ', " + ", ".join(m_parts) + ")"
+    dims_fmt = ", ".join(f'"{d}": %d' for d in config.DIMENSIONS)
+    head_fmt = (
+        '{"doc_id": %d, "totalScore": %d, "rating": "%s", "keep": %s, '
+        '"dimensions": {' + dims_fmt + '}, "measurements": ['
+    ).replace("'", "''")
+    dim_args = ", ".join(config.DIMENSIONS)
+    return f"""{pct_with_clause(table, id_col, meta)}, dims AS (
+  SELECT {id_col}, {all_pcts},
+    {score_select(profile)}
+  FROM pct
+)
+SELECT {id_col},
+  printf('{head_fmt}', {id_col}, CAST({total} AS INTEGER),
+    CASE WHEN {total} >= {t['excellent']} THEN 'Excellent'
+         WHEN {total} >= {t['good']} THEN 'Good'
+         WHEN {total} >= {t['sufficient']} THEN 'Sufficient'
+         ELSE 'Bad' END,
+    CASE WHEN {total} >= {t['sufficient']} AND {hard_cond}
+         THEN 'true' ELSE 'false' END,
+    {dim_args})
+  || {measurements} || ']}}' AS report
+FROM dims
+"""
+
+
 def native_scoring_sql(
     table: str = "documents",
     id_col: str = "doc_id",
