@@ -35,6 +35,8 @@ EVENTS_END = "2024-01-10 00:00:00"
 JACCARD_MAX_DOC = 200  # pairwise stage is candidate-limited (see dedup.py)
 # vocab.load_vocab semantics on a CSV [src0..src4]: first row swallowed
 ALLOWED_SOURCES = ["src1", "src2", "src3", "src4"]
+VOCAB_URI_PREFIX = "https://src.example/"
+VOCAB_LABELS = ["rc1", "src2"]  # 'rc1' only matches by substring fallback
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -168,6 +170,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # list mimics a header-swallowed CSV: 'src0' is the swallowed row)
     q["source_compliance"] = lambda s, d: vocab.source_compliance(
         _t(s, d, "documents"), ALLOWED_SOURCES
+    )
+
+    # -- J1 array-valued variant: per-record (compliant, population, pct)
+    # over a synthesized multi-valued column. Element 1 is URI-shaped (can
+    # match), element 2 is a literal (inflates the denominator, never
+    # matches — validators.py:425-427), element 3 is sometimes NULL
+    # (excluded from the population).
+    def vocabulary_compliance(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        vals = F.array(
+            F.concat(F.lit(VOCAB_URI_PREFIX), F.col("source")),
+            F.col("source"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.lit(VOCAB_URI_PREFIX + "src1"),
+            ),
+        )
+        return vocab.vocabulary_compliance(
+            docs.select("doc_id", vals.alias("vals")),
+            "vals",
+            [VOCAB_URI_PREFIX + x for x in ALLOWED_SOURCES],
+        )
+
+    q["vocabulary_compliance"] = vocabulary_compliance
+
+    # -- J2 label-chase fallback: lowercased equality OR substring-of-value
+    # containment (validators.py:605-646). 'rc1' hits src1 by substring.
+    q["label_membership"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id",
+        "source",
+        vocab.label_membership(F.col("source"), VOCAB_LABELS).alias("label_ok"),
     )
 
     # -- multimodal binary columns (opaque payload + typed metadata)
@@ -534,6 +567,39 @@ SELECT
              0.0), 0.0), 6) AS pct
 FROM documents
 """
+
+    uri_allowed = ", ".join(f"'{VOCAB_URI_PREFIX}{s}'" for s in ALLOWED_SOURCES)
+    vc_hit = (
+        f"v IS NOT NULL AND v IN ({uri_allowed}) "
+        "AND regexp_matches(v, '^https?://')"
+    )
+    o["vocabulary_compliance"] = f"""
+WITH exploded AS (
+  SELECT doc_id, unnest([
+    '{VOCAB_URI_PREFIX}' || source,
+    source,
+    CASE WHEN doc_id % 5 = 0 THEN '{VOCAB_URI_PREFIX}src1' END
+  ]) AS v
+  FROM documents
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN {vc_hit} THEN 1 ELSE 0 END) AS BIGINT) AS compliant,
+  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS population,
+  coalesce(
+    CAST(sum(CASE WHEN {vc_hit} THEN 1 ELSE 0 END) AS DOUBLE)
+    / nullif(CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 0.0),
+    0.0) AS pct
+FROM exploded GROUP BY doc_id
+"""
+    lbl_eq = ", ".join(f"'{lab.lower()}'" for lab in VOCAB_LABELS)
+    lbl_contains = " OR ".join(
+        f"contains(lower(trim(source)), '{lab.lower()}')" for lab in VOCAB_LABELS
+    )
+    o["label_membership"] = (
+        "SELECT doc_id, source, coalesce("
+        f"lower(trim(source)) IN ({lbl_eq}) OR {lbl_contains}, FALSE) AS label_ok "
+        "FROM documents"
+    )
 
     # -- multimodal (fake media: magic header by doc_id % 4 || utf-8 text;
     # fingerprints defined over lowercase hex so DuckDB's VARCHAR-only
