@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_summary"] = lambda s, d: analytics.corpus_summary(_scored(s, d))
     q["top_sources"] = lambda s, d: analytics.top_sources(_scored(s, d))
     q["dimension_correlation"] = lambda s, d: analytics.dimension_correlation(_scored(s, d))
+    q["dimension_correlation_matrix"] = lambda s, d: (
+        analytics.dimension_correlation_matrix(_scored(s, d))
+    )
     q["keep_drop_extremes"] = lambda s, d: analytics.union_keep_drop_extremes(_scored(s, d))
 
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
@@ -353,6 +356,27 @@ def oracle_sql() -> dict[str, str]:
         f"stddev_pop(CAST(total_score AS DOUBLE)), 0.0), 4) AS corr_with_total "
         f"FROM scored"
         for d in dims
+    )
+    mat_cols = [*dims, "total_score"]
+    mat_aggs, have_cov = [], set()
+    for i, a in enumerate(mat_cols):
+        mat_aggs.append(f"stddev_pop(CAST({a} AS DOUBLE)) AS s_{a}")
+        for b in mat_cols[i:]:
+            mat_aggs.append(
+                f"covar_pop(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)) AS cov_{a}_{b}"
+            )
+            have_cov.add((a, b))
+    mat_rows = []
+    for a in mat_cols:
+        for b in mat_cols:
+            cov = f"cov_{a}_{b}" if (a, b) in have_cov else f"cov_{b}_{a}"
+            mat_rows.append(
+                f"SELECT '{a}' AS dim_x, '{b}' AS dim_y, "
+                f"round({cov} / nullif(s_{a} * s_{b}, 0.0), 4) AS corr FROM m"
+            )
+    o["dimension_correlation_matrix"] = (
+        f"WITH scored AS ({scored}), m AS (SELECT {', '.join(mat_aggs)} FROM scored) "
+        + " UNION ALL ".join(mat_rows)
     )
     o["keep_drop_extremes"] = (
         f"WITH scored AS ({scored}) "

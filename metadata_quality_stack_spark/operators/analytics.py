@@ -33,21 +33,35 @@ def rating_histogram(scored: DataFrame) -> DataFrame:
 
 
 def dimension_stats(scored: DataFrame) -> DataFrame:
-    """A9 — dashboard.py:176-254: avg/min/max per dimension, one row each."""
-    frames = []
+    """A9 — dashboard.py:176-254: avg/min/max per dimension, one row each.
+
+    ONE aggregation over all dimensions, then an explode to the long
+    shape: the round-1 version unioned one .agg per dimension, which
+    re-executed the upstream scoring pipeline 5x from the scan — invisible
+    at sf0.01, 5 redundant full passes at 100 TB (VERDICT r1 #4)."""
+    aggs = []
     for d in config.DIMENSIONS:
-        frames.append(
-            scored.agg(
+        aggs += [
+            F.round(F.avg(d), 4).alias(f"avg_{d}"),
+            F.min(d).alias(f"min_{d}"),
+            F.max(d).alias(f"max_{d}"),
+        ]
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(d).alias("dimension"),
-                F.round(F.avg(d), 4).alias("avg_score"),
-                F.min(d).alias("min_score"),
-                F.max(d).alias("max_score"),
+                F.col(f"avg_{d}").alias("avg_score"),
+                F.col(f"min_{d}").alias("min_score"),
+                F.col(f"max_{d}").alias("max_score"),
             )
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+            for d in config.DIMENSIONS
+        ]
+    )
+    return (
+        scored.agg(*aggs)
+        .select(F.explode(rows).alias("r"))
+        .select("r.dimension", "r.avg_score", "r.min_score", "r.max_score")
+    )
 
 
 def corpus_summary(scored: DataFrame) -> DataFrame:
@@ -120,28 +134,82 @@ def events_hourly(events: DataFrame) -> DataFrame:
 
 
 def dimension_correlation(scored: DataFrame) -> DataFrame:
-    """A10 — dashboard.py:326-372: pairwise correlation of dimension scores
-    with the total. Rounded to 4 to survive float-order differences."""
-    rows = []
+    """A10 — dashboard.py:326-372: correlation of each dimension with the
+    total, in ONE aggregation + explode (same one-scan rationale as
+    dimension_stats). Manual corr (covar/stddev with nullif guard):
+    ANSI-safe on zero-variance dimensions, mirroring the reference's
+    exclusion of constant columns. Rounded to 4 to survive float-order
+    differences."""
+    y = F.col("total_score").cast("double")
+    aggs = [F.stddev_pop(y).alias("_sy")]
     for d in config.DIMENSIONS:
         x = F.col(d).cast("double")
-        y = F.col("total_score").cast("double")
-        # manual corr (covar/stddev with nullif guard): ANSI-safe on
-        # zero-variance dimensions, mirroring the reference's exclusion of
-        # constant columns (dashboard.py:326-372)
-        corr = F.covar_pop(x, y) / F.nullif(
-            F.stddev_pop(x) * F.stddev_pop(y), F.lit(0.0)
-        )
-        rows.append(
-            scored.agg(
+        aggs += [
+            F.covar_pop(x, y).alias(f"cov_{d}"),
+            F.stddev_pop(x).alias(f"sx_{d}"),
+        ]
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(d).alias("dimension"),
-                F.round(corr, 4).alias("corr_with_total"),
+                F.round(
+                    F.col(f"cov_{d}")
+                    / F.nullif(F.col(f"sx_{d}") * F.col("_sy"), F.lit(0.0)),
+                    4,
+                ).alias("corr_with_total"),
             )
+            for d in config.DIMENSIONS
+        ]
+    )
+    return (
+        scored.agg(*aggs)
+        .select(F.explode(rows).alias("r"))
+        .select("r.dimension", "r.corr_with_total")
+    )
+
+
+def dimension_correlation_matrix(scored: DataFrame) -> DataFrame:
+    """A10 full form — dashboard.py:326-372 computes the complete pairwise
+    matrix over the 5 dimensions + total (6x6) with zero-variance columns
+    excluded (their correlations are NULL here). One aggregation computes
+    every pairwise covariance and per-column stddev in a single pass, then
+    a projection emits the 36 (dim_x, dim_y, corr) rows."""
+    cols = [*config.DIMENSIONS, "total_score"]
+    aggs = []
+    for i, a in enumerate(cols):
+        aggs.append(F.stddev_pop(F.col(a).cast("double")).alias(f"s_{a}"))
+        for b in cols[i:]:
+            aggs.append(
+                F.covar_pop(
+                    F.col(a).cast("double"), F.col(b).cast("double")
+                ).alias(f"cov_{a}_{b}")
+            )
+    have = {f"cov_{a}_{b}" for i, a in enumerate(cols) for b in cols[i:]}
+
+    def corr(a: str, b: str):
+        cov = (
+            F.col(f"cov_{a}_{b}") if f"cov_{a}_{b}" in have else F.col(f"cov_{b}_{a}")
         )
-    out = rows[0]
-    for f in rows[1:]:
-        out = out.unionByName(f)
-    return out
+        return F.round(
+            cov / F.nullif(F.col(f"s_{a}") * F.col(f"s_{b}"), F.lit(0.0)), 4
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("dim_x"),
+                F.lit(b).alias("dim_y"),
+                corr(a, b).alias("corr"),
+            )
+            for a in cols
+            for b in cols
+        ]
+    )
+    return (
+        scored.agg(*aggs)
+        .select(F.explode(rows).alias("r"))
+        .select("r.dim_x", "r.dim_y", "r.corr")
+    )
 
 
 def union_keep_drop_extremes(scored: DataFrame) -> DataFrame:

@@ -74,6 +74,27 @@ def test_column_pruning_never_reads_html(pages):
     assert read_schema and all("html" not in ln for ln in read_schema)
 
 
+def test_dimension_stats_single_scan(spark):
+    """dimension_stats/correlation(-matrix) must run ONE aggregation over
+    one scan of the scored input — not one union branch per dimension
+    re-executing the scoring pipeline 5x (VERDICT r1 #4). A single global
+    agg shows exactly 2 Exchanges (partial->final single partition) and
+    one scan relation; the union shape showed 5 of each."""
+    from metadata_quality_stack_spark.operators import analytics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = analytics.scored_documents(docs)
+    for fn in (
+        analytics.dimension_stats,
+        analytics.dimension_correlation,
+        analytics.dimension_correlation_matrix,
+    ):
+        plan = plan_str(fn(scored), "simple")
+        assert plan.count("Scan parquet") == 1, fn.__name__
+        assert plan.count("Exchange") <= 2, fn.__name__
+        assert "Union" not in plan, fn.__name__
+
+
 def test_dim_join_broadcasts(spark):
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
