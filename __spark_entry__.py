@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), EVENTS_START, EVENTS_END
     )
     q["events_hourly"] = lambda s, d: analytics.events_hourly(_t(s, d, "events"))
+    q["score_history"] = lambda s, d: analytics.score_history(_scored(s, d))
 
     # -- text analysis (token counting, langid, fingerprint, scrub)
     q["token_stats"] = lambda s, d: textops.token_stats(_t(s, d, "documents"))
@@ -402,6 +403,18 @@ def oracle_sql() -> dict[str, str]:
         f"AND ts < TIMESTAMP '{EVENTS_END}' GROUP BY event_type"
     )
 
+    o["score_history"] = f"""
+WITH scored AS ({scored_src}),
+daily AS (
+  SELECT source,
+    CAST(DATE '2024-01-01' + CAST(doc_id % 30 AS INTEGER) AS VARCHAR) AS day,
+    count(*) AS n_docs, round(avg(total_score), 4) AS avg_score
+  FROM scored GROUP BY 1, 2
+)
+SELECT source, day, n_docs, avg_score,
+  round(avg(avg_score) OVER (PARTITION BY source ORDER BY day), 4) AS running_avg
+FROM daily
+"""
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -212,6 +212,42 @@ def dimension_correlation_matrix(scored: DataFrame) -> DataFrame:
     )
 
 
+def score_history(scored: DataFrame) -> DataFrame:
+    """O3 — tinydb_repo.py:63 / app.py:330-345 / visualizations.py:181:
+    per-source score history ordered by date, with a running mean (the
+    dashboard's evolution line). The documents table carries no
+    timestamp, so the report day is synthesized deterministically
+    (doc_id % 30 days from a fixed epoch) — standing in for the results
+    store's warc_ts/day partition column.
+
+    Shape: one groupBy (source, day) with map-side combine, then a
+    per-source ordered window over the (tiny) daily rollup — the window
+    input is |sources| x |days| rows, not documents."""
+    # ISO string, not DATE: engines render date columns with different
+    # pandas dtypes (object date vs datetime64), which breaks value-hash
+    # comparison; ISO strings also sort chronologically
+    day = F.date_add(
+        F.lit("2024-01-01").cast("date"),
+        F.pmod(F.col("doc_id"), F.lit(30)).cast("int"),
+    ).cast("string")
+    daily = (
+        scored.select("source", day.alias("day"), "total_score")
+        .groupBy("source", "day")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("total_score"), 4).alias("avg_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("day")
+    return daily.select(
+        "source",
+        "day",
+        "n_docs",
+        "avg_score",
+        F.round(F.avg("avg_score").over(w), 4).alias("running_avg"),
+    )
+
+
 def union_keep_drop_extremes(scored: DataFrame) -> DataFrame:
     """U1 — validators.py:940,949 union-all analog: best and worst docs
     unioned with a provenance tag."""
