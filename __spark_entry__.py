@@ -33,6 +33,7 @@ from metadata_quality_stack_spark.oracle import sqlgen
 EVENTS_START = "2024-01-05 00:00:00"
 EVENTS_END = "2024-01-10 00:00:00"
 JACCARD_MAX_DOC = 200  # pairwise stage is candidate-limited (see dedup.py)
+JACCARD_MAX_DF = 10  # frequent-shingle pruning cap for the pruned variant
 # vocab.load_vocab semantics on a CSV [src0..src4]: first row swallowed
 ALLOWED_SOURCES = ["src1", "src2", "src3", "src4"]
 VOCAB_URI_PREFIX = "https://src.example/"
@@ -144,6 +145,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ngram_jaccard_pairs"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _t(s, d, "documents").filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    )
+    # frequent-shingle-pruned variant: boilerplate shingles (df > cap) are
+    # dropped before the inverted-index self-join (the hot-posting-list
+    # quadratic guard; sizes recomputed over retained shingles)
+    q["ngram_jaccard_pruned"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents").filter(F.col("doc_id") < JACCARD_MAX_DOC),
+        max_df=JACCARD_MAX_DF,
     )
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
@@ -556,6 +564,25 @@ SELECT doc_id, min(cluster) AS cluster FROM reach GROUP BY doc_id
     o["ngram_jaccard_pairs"] = f"""
 WITH lim AS (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
 sh AS (SELECT doc_id, unnest({sh}) AS s FROM lim),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_common,
+  round(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) AS jaccard
+FROM (
+  SELECT c.d1, c.d2, c.n_common, s1.n_sh AS n1, s2.n_sh AS n2
+  FROM common c JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+)
+WHERE round(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) >= 0.2
+"""
+    o["ngram_jaccard_pruned"] = f"""
+WITH lim AS (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
+sh_all AS (SELECT doc_id, unnest({sh}) AS s FROM lim),
+keepset AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}),
+sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keepset USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common

@@ -140,11 +140,29 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, max_df: int | None = None
+) -> DataFrame:
     """Pairwise Jaccard over distinct 3-shingles via shingle-inverted-index
     self-join. At 100 TB this runs only on LSH candidates; here the input
-    is expected to be pre-limited by the caller."""
+    is expected to be pre-limited by the caller.
+
+    ``max_df`` enables frequent-shingle pruning: shingles appearing in
+    more than ``max_df`` documents (boilerplate n-grams — "all rights
+    reserved …") are dropped from the index BEFORE the self-join, which
+    is otherwise quadratic in each hot shingle's posting list. The hot
+    set is tiny (few distinct shingles, however many postings), so it
+    rides a broadcast anti-join; document sizes are recomputed over the
+    retained shingles, keeping the Jaccard definition self-consistent."""
     sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

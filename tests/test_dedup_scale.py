@@ -56,6 +56,26 @@ def test_short_docs_are_singleton_clusters(spark):
     assert sorted(r.n for r in dup_clusters) == [2, 2, 2]
 
 
+def test_frequent_shingle_pruning_bounds_join(spark):
+    """300 unrelated docs all sharing one boilerplate sentence: the
+    unpruned inverted-index join pairs every doc with every other through
+    the hot shingles; with max_df the hot postings are dropped and only
+    the true dup pair survives."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = [(i, f"{boiler} unique{i} filler{i} token{i} alpha{i} beta{i}")
+            for i in range(300)]
+    rows += [(1000, "the quick brown fox jumps over the lazy dog now"),
+             (1001, "the quick brown fox jumps over the lazy dog now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pruned = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_df=10).collect()
+    assert [(r.d1, r.d2) for r in pruned] == [(1000, 1001)]
+    assert pruned[0].jaccard == 1.0
+    # sanity: without the cap, the boilerplate shingles pair everything
+    sh = docs.select(F.explode(dedup._shingles(F.col("text"))).alias("s"))
+    hot = sh.groupBy("s").count().filter(F.col("count") > 10).count()
+    assert hot > 0
+
+
 def test_exact_dedup_still_covers_short_docs(spark):
     """The short docs LSH skips are exactly what exact dedup catches."""
     docs = _corpus(spark)

@@ -114,3 +114,29 @@ def test_content_path_quirk_drops_profile_only_rules(spark):
 def test_full_profiles_reject_apply_quality(spark):
     with pytest.raises(ValueError):
         apply_quality(_docs(spark), meta_cols=META, profile="webtext_nti")
+
+
+def test_full_nti_pipeline_matches_pandas_oracle(spark):
+    """The MODEL-rule pipeline under the second profile: Spark plan vs the
+    pure-pandas oracle, exact keep/rating/total parity (the profile twin
+    of tests/test_pipeline_f1.py)."""
+    from metadata_quality_stack_spark.oracle.scoring import score_pandas
+    from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+    from metadata_quality_stack_spark.sources.pages import pages_spark_df
+
+    pages = pages_spark_df(spark, n_rows=150, seed=31)
+    out = (
+        quality_pipeline(
+            pages, id_cols=("url",), lang_col="lang",
+            profile="webtext_nti", include_text=False,
+        )
+        .orderBy("url")
+        .collect()
+    )
+    pdf = pages.toPandas().sort_values("url").reset_index(drop=True)
+    exp = score_pandas(pdf, lang_col="lang", profile="webtext_nti")
+    assert len(out) == len(exp)
+    for i, row in enumerate(out):
+        assert row.total_score == int(exp["total_score"].iloc[i]), row.url
+        assert row.rating == exp["rating"].iloc[i], row.url
+        assert row.keep == bool(exp["keep"].iloc[i]), row.url
