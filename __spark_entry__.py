@@ -23,6 +23,7 @@ from metadata_quality_stack_spark.operators import (
     analytics,
     dedup,
     multimodal,
+    sampling,
     similarity,
     textops,
     vocab,
@@ -112,6 +113,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_hourly"] = lambda s, d: analytics.events_hourly(_t(s, d, "events"))
     q["score_history"] = lambda s, d: analytics.score_history(_scored(s, d))
+
+    # -- corpus shaping (sampling / quotas / distribution readout)
+    q["sample_documents"] = lambda s, d: sampling.deterministic_sample(
+        _t(s, d, "documents")
+    ).select("doc_id", "source", "lang")
+    q["docs_per_source_cap"] = lambda s, d: sampling.cap_per_key(
+        _t(s, d, "documents").select("doc_id", "source"),
+        "source", 3, "doc_id",
+    )
+    q["score_quantiles"] = lambda s, d: sampling.score_quantiles(_scored(s, d))
 
     # -- text analysis (token counting, langid, fingerprint, scrub)
     q["token_stats"] = lambda s, d: textops.token_stats(_t(s, d, "documents"))
@@ -423,6 +434,26 @@ SELECT source, day, n_docs, avg_score,
   round(avg(avg_score) OVER (PARTITION BY source ORDER BY day), 4) AS running_avg
 FROM daily
 """
+    o["sample_documents"] = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % {sampling.SAMPLE_BUCKETS} < 10
+"""
+    o["docs_per_source_cap"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+    o["score_quantiles"] = (
+        f"WITH scored AS ({scored}) SELECT "
+        + ", ".join(
+            f"round(quantile_cont(total_score, {p!r}), 4) AS p{int(p * 100)}"
+            for p in (0.1, 0.25, 0.5, 0.75, 0.9)
+        )
+        + " FROM scored"
+    )
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -152,22 +152,86 @@ def ivf_assign(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
     n*k rows just to argmax per vector — the wrong shape at k=65k cells
     (VERDICT r1 #6). Tiebreak: max(-cell_id) == smallest cell_id, matching
     the oracle's ORDER BY sim DESC, cell_id ASC."""
-    cents = (
-        embeddings.filter(F.col("vec_id") < k)
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in embeddings.filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
+    ]
+    best = _argmax_cell(cents)
+    return embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        (-best["neg_cell"]).alias("cell_id"),
+        best["cell_sim"].alias("cell_sim"),
     )
+
+
+def _argmax_cell(cents: list[tuple[int, list[float]]]):
+    """Per-row argmax struct over literal centroids: array_max of
+    (sim, -cell_id) — highest sim, then smallest cell_id on ties."""
     entries = []
-    for r in cents:
-        c_emb = F.array(*[F.lit(float(v)) for v in r.embedding])
+    for cell_id, vec in cents:
+        c_emb = F.array(*[F.lit(float(v)) for v in vec])
         sim = F.round(cosine(F.col("embedding"), c_emb), 6)
         entries.append(
             F.struct(
                 sim.alias("cell_sim"),
-                F.lit(-int(r.vec_id)).cast("long").alias("neg_cell"),
+                F.lit(-int(cell_id)).cast("long").alias("neg_cell"),
             )
         )
-    best = F.array_max(F.array(*entries))
+    return F.array_max(F.array(*entries))
+
+
+def ivf_train(
+    embeddings: DataFrame, k: int = IVF_K, n_iter: int = 3
+) -> list[tuple[int, list[float]]]:
+    """Lloyd iterations for the IVF centroids — the production path the
+    seeded ``ivf_assign`` stands in for. Each round is ONE job: a map-only
+    argmax assignment against the (broadcast-sized) current centroids,
+    then a single groupBy(cell) computing per-component means with
+    map-side partial aggregation — the shuffled payload is k cells x
+    (count + dim doubles) per partition, never the vectors. Centroids
+    come back to the driver between rounds (k x dim doubles — the same
+    data a broadcast would ship); empty cells drop out, mirroring
+    k-means' vanishing-cluster behavior. Components are rounded so plans
+    are reproducible across engines/runs."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in embeddings.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    for _ in range(n_iter):
+        best = _argmax_cell(cents)
+        assigned = embeddings.select(
+            "embedding", (-best["neg_cell"]).alias("cell_id")
+        )
+        rows = (
+            assigned.groupBy("cell_id")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cell_id"]), [round(float(r[f"c{i}"]), 6) for i in range(dim)])
+            for r in rows
+        )
+    return cents
+
+
+def ivf_assign_trained(
+    embeddings: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Assignment against trained centroids (same map-only argmax)."""
+    best = _argmax_cell(cents)
     return embeddings.select(
         "vec_id",
         "label",
