@@ -79,6 +79,44 @@ def stream_quality(
     return writer.start()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup across micro-batches: md5(text) fingerprint +
+    ``dropDuplicatesWithinWatermark`` keyed by fingerprint. A duplicate
+    landing in a LATER file than its original is still dropped as long as
+    both fall within the event-time watermark — the continuous-ingest twin
+    of ``dedup.exact_dedup_groups``.
+
+    Scale: state holds one entry per distinct fingerprint seen inside the
+    watermark horizon, then ages out — bounded by ingest-rate x horizon,
+    not corpus size. That bound is exactly why this is
+    dropDuplicatesWithinWatermark and not dropDuplicates (whose state
+    grows forever at 10^12 docs)."""
+    pages = read_pages_stream(spark, input_dir)
+    deduped = (
+        pages.withColumn(
+            "fingerprint", F.md5(F.encode(F.col("text"), "UTF-8"))
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_lang_histogram(
     spark: SparkSession,
     input_dir: str,

@@ -8,9 +8,45 @@ from pyspark.sql import functions as F
 from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
 from metadata_quality_stack_spark.sources.pages import generate_pages
 from metadata_quality_stack_spark.streaming.stream import (
+    stream_dedup,
     stream_lang_histogram,
     stream_quality,
 )
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Duplicates landing in later files are dropped within the
+    watermark; state is fingerprint-bounded, not corpus-bounded."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    texts = [f"document number {i} body text" for i in range(20)]
+
+    def _write(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: 20 originals; batch 2: 10 dups (same text, new urls) + 5 new
+    _write(
+        [(f"https://a/{i}", ts, b"", texts[i], "en") for i in range(20)], "b1"
+    )
+    _write(
+        [(f"https://b/{i}", ts + pd.Timedelta(minutes=5), b"", texts[i], "en")
+         for i in range(10)]
+        + [(f"https://c/{i}", ts + pd.Timedelta(minutes=6), b"",
+            f"fresh content {i} here now", "en") for i in range(5)],
+        "b2",
+    )
+    q = stream_dedup(spark, src, out, ckpt, watermark="1 hour")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 25  # 20 originals + 5 fresh, 10 dups dropped
+    assert got.select("fingerprint").distinct().count() == 25
 
 
 @pytest.fixture(scope="module")
