@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_hourly"] = lambda s, d: analytics.events_hourly(_t(s, d, "events"))
     q["score_history"] = lambda s, d: analytics.score_history(_scored(s, d))
+    q["events_props_extract"] = lambda s, d: analytics.events_props_extract(
+        _t(s, d, "events")
+    )
+    q["report_turtle"] = lambda s, d: textops.report_turtle(_scored(s, d))
 
     # -- corpus shaping (sampling / quotas / distribution readout)
     q["sample_documents"] = lambda s, d: sampling.deterministic_sample(
@@ -434,6 +438,20 @@ SELECT source, day, n_docs, avg_score,
   round(avg(avg_score) OVER (PARTITION BY source ORDER BY day), 4) AS running_avg
 FROM daily
 """
+    o["events_props_extract"] = """
+SELECT event_type, count(*) AS n_events,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+    ttl = textops.TURTLE_TEMPLATE.replace("'", "''")
+    ttl_dims = ", ".join(dims)
+    o["report_turtle"] = (
+        f"WITH scored AS ({scored}) "
+        f"SELECT doc_id, printf('{ttl}', doc_id, total_score, rating, "
+        "CASE WHEN keep THEN 'true' ELSE 'false' END, "
+        f"{ttl_dims}) AS turtle FROM scored"
+    )
     o["sample_documents"] = f"""
 SELECT doc_id, source, lang FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT

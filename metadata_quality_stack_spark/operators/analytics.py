@@ -133,6 +133,23 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def events_props_extract(events: DataFrame) -> DataFrame:
+    """Semi-structured payload extraction (§2.8 json fns): pull a field
+    out of the JSON ``props`` column and aggregate it per event type —
+    get_json_object evaluates inside codegen, no UDF, and the projection
+    prunes every other column at the scan."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def dimension_correlation(scored: DataFrame) -> DataFrame:
     """A10 — dashboard.py:326-372: correlation of each dimension with the
     total, in ONE aggregation + explode (same one-scan rationale as

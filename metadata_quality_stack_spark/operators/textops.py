@@ -226,6 +226,36 @@ def report_dqv(
     )
 
 
+# Turtle template shared by Spark format_string and DuckDB printf.
+# Single deterministic line per doc; prefixes declared once by the caller
+# when assembling a document (@prefix mqa: <https://example.org/mqa#>).
+TURTLE_TEMPLATE = (
+    '<https://doc.example/%d> a mqa:QualityReport ; '
+    'mqa:totalScore %d ; mqa:rating "%s" ; mqa:keep %s ; '
+    "mqa:findability %d ; mqa:accessibility %d ; mqa:interoperability %d ; "
+    "mqa:reusability %d ; mqa:contextuality %d ."
+)
+
+
+def report_turtle(scored: DataFrame) -> DataFrame:
+    """Turtle serialization of the per-document quality report — the
+    reference's S9 sink (client-side `RDFService.ts` Turtle re-serialize;
+    DQV shape from converters.py). One deterministic triple block per doc
+    rendered with format_string, so the exact bytes are reproducible in
+    any engine (rdflib-style pretty-printing is not)."""
+    return scored.select(
+        "doc_id",
+        F.format_string(
+            TURTLE_TEMPLATE,
+            F.col("doc_id"),
+            F.col("total_score"),
+            F.col("rating"),
+            F.when(F.col("keep"), F.lit("true")).otherwise(F.lit("false")),
+            *[F.col(d) for d in config.DIMENSIONS],
+        ).alias("turtle"),
+    )
+
+
 # GPT-2-style pretokenizer, restricted to the Java/RE2/DuckDB-common subset
 # (no \p classes, no lookahead): contractions, letter runs, digit runs,
 # punctuation runs, whitespace runs.
