@@ -128,6 +128,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["score_quantiles"] = lambda s, d: sampling.score_quantiles(_scored(s, d))
 
+    # -- end-to-end curation composite: score -> keep -> exact-dedup ->
+    # deterministic 50% sample -> per-source cap of 10
+    def _curate_args(s: SparkSession, d: str) -> dict:
+        from metadata_quality_stack_spark.plans import curate as curate_mod
+
+        return dict(
+            docs=_t(s, d, "documents"),
+            meta_cols=analytics.DOC_META,
+            sample_pct=50,
+            per_source_cap=10,
+        )
+
+    def curated_corpus(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.plans.curate import curate
+
+        return curate(**_curate_args(s, d))
+
+    def curation_funnel(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.plans.curate import curation_accounting
+
+        return curation_accounting(**_curate_args(s, d))
+
+    q["curated_corpus"] = curated_corpus
+    q["curation_funnel"] = curation_funnel
+
     # -- text analysis (token counting, langid, fingerprint, scrub)
     q["token_stats"] = lambda s, d: textops.token_stats(_t(s, d, "documents"))
     q["langid_heuristic"] = lambda s, d: textops.langid_heuristic(_t(s, d, "documents"))
@@ -437,6 +462,40 @@ daily AS (
 SELECT source, day, n_docs, avg_score,
   round(avg(avg_score) OVER (PARTITION BY source ORDER BY day), 4) AS running_avg
 FROM daily
+"""
+    scored_full = sqlgen.native_scoring_sql(extra_cols=("source", "lang"))
+    curate_cte = f"""WITH scored AS ({scored_full}),
+kept AS (
+  SELECT s.doc_id, s.source, s.lang, s.total_score, s.rating,
+    md5(d.text) AS fingerprint
+  FROM scored s JOIN documents d USING (doc_id) WHERE s.keep
+),
+uniq AS (
+  SELECT doc_id, source, lang, total_score, rating, fingerprint FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM uniq
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 50
+),
+capped AS (
+  SELECT doc_id, source, lang, total_score, rating, fingerprint FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
+    FROM sampled
+  ) WHERE rn2 <= 10
+)"""
+    o["curated_corpus"] = (
+        f"{curate_cte} SELECT doc_id, source, lang, fingerprint, "
+        "total_score, rating FROM capped"
+    )
+    o["curation_funnel"] = f"""{curate_cte}
+SELECT 'input' AS stage, count(*) AS n FROM documents
+UNION ALL SELECT 'quality_kept', count(*) FROM kept
+UNION ALL SELECT 'unique', count(*) FROM uniq
+UNION ALL SELECT 'sampled', count(*) FROM sampled
+UNION ALL SELECT 'capped', count(*) FROM capped
 """
     o["events_props_extract"] = """
 SELECT event_type, count(*) AS n_events,

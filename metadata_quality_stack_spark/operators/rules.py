@@ -265,6 +265,33 @@ def final_scores(
     return df.select(*cols)
 
 
+_BARRIER_SEQ = 0
+
+
+def filter_scored(df: DataFrame, cond: Column, observe_name: str | None = None) -> DataFrame:
+    """Filter on scored attribute columns WITHOUT predicate pushdown.
+
+    Spark 4's predicate pushdown substitutes a deterministic condition
+    straight through the staged scoring projections (the CSE guard column
+    is pruned as unreferenced, and any always-true ``rand`` wrapper is
+    range-folded away) — so ``scored.filter("keep")`` re-inlines the
+    ENTIRE scoring expression tree at the scan: the condition grows to
+    ~36 KB of expression, the fused stage overflows Janino's 64 KB method
+    limit (the whole stage drops to interpreted eval), and every rule is
+    computed twice (once in the pushed filter, again in the projections
+    above).
+
+    The fix is an ``observe`` (CollectMetrics) barrier: predicates may not
+    move across it — that would change the observed counts — so the filter
+    stays put and reads the already-materialized attribute once. The
+    metric is genuinely useful: it counts pre-filter rows (query it via
+    ``df.observation`` / ``QueryExecutionListener``)."""
+    global _BARRIER_SEQ
+    _BARRIER_SEQ += 1
+    name = observe_name or f"pre_filter_{_BARRIER_SEQ}"
+    return df.observe(name, F.count(F.lit(1)).alias("n_rows")).filter(cond)
+
+
 def metric_report(
     df: DataFrame,
     text_col: str = "text",

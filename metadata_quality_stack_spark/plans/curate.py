@@ -1,0 +1,134 @@
+"""End-to-end corpus curation: the composition a training-data run
+actually executes between raw pages and exported corpus —
+
+    score (quality rules) -> keep -> exact-dedup (canonical per
+    fingerprint) -> deterministic sample -> per-source cap
+
+One declarative plan: scoring is the map-only staged projection
+(operators/rules.py), dedup and the cap are one window each, the sample
+is a map-only predicate. Catalyst pipelines the whole thing; the only
+shuffles are the two window exchanges (fingerprint, source). Stage ORDER
+is part of the contract: dedup before sampling (so the sample rate
+applies to unique documents), cap last (quotas apply to what survives).
+
+`curation_accounting` returns the row-accounting funnel — the numbers an
+operator reads before exporting 10^12 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators.rules import apply_quality, filter_scored
+from metadata_quality_stack_spark.operators.sampling import (
+    cap_per_key,
+    deterministic_sample,
+)
+
+CURATED_COLS = ["doc_id", "source", "lang", "fingerprint", "total_score", "rating"]
+
+
+def _stages(
+    docs: DataFrame,
+    meta_cols: dict[str, str],
+    profile: str,
+    sample_pct: int | None,
+    per_source_cap: int | None,
+) -> dict[str, DataFrame]:
+    scored = apply_quality(docs, meta_cols=meta_cols, profile=profile)
+    kept = filter_scored(scored, F.col("keep"))
+    # project down BEFORE the dedup: the fingerprint is computed map-side
+    # and the text column never reaches the shuffle (at 100 TB the dedup
+    # exchange ships ~50 bytes/doc, not the document).
+    slim = kept.select(
+        "doc_id",
+        "source",
+        "lang",
+        "total_score",
+        "rating",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
+    )
+    # canonical-per-fingerprint via min_by hash aggregation, NOT a
+    # row_number window (no sort anywhere). The explicit repartition is
+    # the exchange the aggregation would insert anyway, placed BEFORE it
+    # on purpose: it ends the whole-stage-codegen span of the scoring
+    # chain, so the aggregation (whose generated sort-fallback path
+    # inlines its child's produce code) compiles against a narrow 6-column
+    # input instead of the 14k-line scoring stage — which overflowed
+    # Janino's 64KB method limit and dropped the entire map stage to
+    # interpreted eval. Cost: map-side combine of duplicate fingerprints
+    # is lost (duplicates shuffle uncombined); win: the scoring stage
+    # stays compiled. Same shuffle count either way.
+    deduped = (
+        slim.repartition(F.col("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            *[
+                F.min_by(c, "doc_id").alias(c)
+                for c in ("doc_id", "source", "lang", "total_score", "rating")
+            ]
+        )
+    )
+    sampled = (
+        deterministic_sample(deduped, "doc_id", sample_pct)
+        if sample_pct is not None
+        else deduped
+    )
+    capped = (
+        cap_per_key(sampled, "source", per_source_cap, "doc_id")
+        if per_source_cap is not None
+        else sampled
+    )
+    return {"kept": kept, "deduped": deduped, "sampled": sampled, "capped": capped}
+
+
+def curate(
+    docs: DataFrame,
+    meta_cols: dict[str, str] | None = None,
+    profile: str = "webtext_native",
+    sample_pct: int | None = None,
+    per_source_cap: int | None = None,
+) -> DataFrame:
+    """The curated corpus: quality-kept, exact-deduped (min doc_id is the
+    canonical copy), optionally sampled and per-source capped."""
+    stages = _stages(
+        docs, meta_cols or {}, profile, sample_pct, per_source_cap
+    )
+    return stages["capped"].select(*CURATED_COLS)
+
+
+def curation_accounting(
+    docs: DataFrame,
+    meta_cols: dict[str, str] | None = None,
+    profile: str = "webtext_native",
+    sample_pct: int | None = None,
+    per_source_cap: int | None = None,
+) -> DataFrame:
+    """One-row funnel: input -> quality-kept -> unique -> sampled ->
+    capped. Counts come from the shared stage plans (Catalyst reuses the
+    scoring subtree across the union of counts)."""
+    stages = _stages(
+        docs, meta_cols or {}, profile, sample_pct, per_source_cap
+    )
+    counts = [
+        docs.agg(F.count("*").alias("n")).select(
+            F.lit("input").alias("stage"), "n"
+        ),
+        stages["kept"]
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("quality_kept").alias("stage"), "n"),
+        stages["deduped"]
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("unique").alias("stage"), "n"),
+        stages["sampled"]
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("sampled").alias("stage"), "n"),
+        stages["capped"]
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("capped").alias("stage"), "n"),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
