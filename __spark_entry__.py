@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings")
     )
     q["ann_topk"] = lambda s, d: similarity.ann_topk(_t(s, d, "embeddings"))
+    q["ann_topk_multi"] = lambda s, d: similarity.ann_topk_multi(
+        _t(s, d, "embeddings")
+    )
     q["embedding_near_dup"] = lambda s, d: similarity.embedding_near_dup_pairs(
         _t(s, d, "embeddings")
     )
@@ -871,6 +874,30 @@ WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings)
 q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM wb WHERE vec_id = 0)
 SELECT vec_id, label, round({cos_q}, 6) AS cos_sim
 FROM wb, q WHERE wb.bucket = q.q_bucket AND vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    mt_tables = [
+        similarity.hyperplanes(
+            similarity.ANN_MULTI_PLANES, seed=similarity.LSH_SEED + t
+        )
+        for t in range(similarity.ANN_N_TABLES)
+    ]
+    mt_buckets = ", ".join(
+        f"{similarity.lsh_bucket_sql('embedding', planes=mt_tables[t])} AS b{t}"
+        for t in range(similarity.ANN_N_TABLES)
+    )
+    mt_q = ", ".join(
+        f"b{t} AS qb{t}" for t in range(similarity.ANN_N_TABLES)
+    )
+    mt_collide = " OR ".join(
+        f"wb.b{t} = q.qb{t}" for t in range(similarity.ANN_N_TABLES)
+    )
+    o["ann_topk_multi"] = f"""
+WITH wb AS (SELECT vec_id, label, embedding, {mt_buckets} FROM embeddings),
+q AS (SELECT embedding AS q_emb, {mt_q} FROM wb WHERE vec_id = 0)
+SELECT vec_id, label, round({cos_q}, 6) AS cos_sim
+FROM wb, q WHERE ({mt_collide}) AND vec_id <> 0
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
