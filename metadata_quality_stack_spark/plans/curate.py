@@ -98,6 +98,43 @@ def curate(
     return stages["capped"].select(*CURATED_COLS)
 
 
+def export_curated(
+    df: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    partition_by: str | None = "lang",
+    compression: str | None = None,
+) -> dict:
+    """Export the curated corpus for training consumption: zstd parquet
+    (columnar, prunable) or gzip JSONL (line-per-doc loaders; the text
+    writer's codec list has no zstd), hive-partitioned by ``partition_by``
+    so per-language training jobs prune at the scan. Returns the
+    per-partition row accounting (the export manifest)."""
+    if compression is None:
+        compression = "zstd" if fmt == "parquet" else "gzip"
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by and partition_by in df.columns:
+        writer = writer.partitionBy(partition_by)
+    if fmt == "json":
+        writer.json(out_dir)
+    else:
+        writer.parquet(out_dir)
+    spark = df.sparkSession
+    written = (
+        spark.read.format(fmt).option("basePath", out_dir).load(out_dir)
+    )
+    if partition_by and partition_by in df.columns:
+        counts = {
+            str(r[partition_by]): int(r["n"])
+            for r in written.groupBy(partition_by)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    else:
+        counts = {"all": written.count()}
+    return {"rows": sum(counts.values()), "partitions": counts, "format": fmt}
+
+
 def curation_accounting(
     docs: DataFrame,
     meta_cols: dict[str, str] | None = None,

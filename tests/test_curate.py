@@ -47,6 +47,29 @@ def test_cap_applies_after_dedup_and_sample(spark):
     assert all(r["count"] <= 1 for r in per_src)
 
 
+def test_export_roundtrip_and_pruning(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from metadata_quality_stack_spark.plans.curate import export_curated
+
+    docs = _docs(spark).withColumn(
+        "lang", SF.coalesce(SF.col("lang"), SF.lit("und"))
+    )
+    out = curate(docs, meta_cols=META)
+    d = str(tmp_path / "export")
+    manifest = export_curated(out, d, fmt="parquet", partition_by="lang")
+    assert manifest["rows"] == out.count()
+    assert any(p.startswith("lang=") for p in os.listdir(d))
+    back = spark.read.option("basePath", d).parquet(d)
+    assert back.count() == manifest["rows"]
+    # JSONL flavor for line-based loaders
+    d2 = str(tmp_path / "export_json")
+    m2 = export_curated(out, d2, fmt="json", partition_by=None)
+    assert m2["rows"] == manifest["rows"]
+
+
 def test_filter_scored_blocks_pushdown(spark):
     """The observe barrier must keep the keep-filter above the scoring
     projections: the pushed-down form inlines a ~36KB condition at the
