@@ -50,25 +50,17 @@ def _stages(
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
     )
     # canonical-per-fingerprint via min_by hash aggregation, NOT a
-    # row_number window (no sort anywhere). The explicit repartition is
-    # the exchange the aggregation would insert anyway, placed BEFORE it
-    # on purpose: it ends the whole-stage-codegen span of the scoring
-    # chain, so the aggregation (whose generated sort-fallback path
-    # inlines its child's produce code) compiles against a narrow 6-column
-    # input instead of the 14k-line scoring stage — which overflowed
-    # Janino's 64KB method limit and dropped the entire map stage to
-    # interpreted eval. Cost: map-side combine of duplicate fingerprints
-    # is lost (duplicates shuffle uncombined); win: the scoring stage
-    # stays compiled. Same shuffle count either way.
-    deduped = (
-        slim.repartition(F.col("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(
-            *[
-                F.min_by(c, "doc_id").alias(c)
-                for c in ("doc_id", "source", "lang", "total_score", "rating")
-            ]
-        )
+    # row_number window: no sort anywhere, and the partial aggregate
+    # combines map-side — the shuffle carries one candidate per
+    # fingerprint per partition, never the duplicates. (This fuses with
+    # the scoring stage and compiles fine; the 64KB codegen overflow this
+    # plan once hit came from the keep-filter pushdown, fixed by
+    # filter_scored's observe barrier.)
+    deduped = slim.groupBy("fingerprint").agg(
+        *[
+            F.min_by(c, "doc_id").alias(c)
+            for c in ("doc_id", "source", "lang", "total_score", "rating")
+        ]
     )
     sampled = (
         deterministic_sample(deduped, "doc_id", sample_pct)
