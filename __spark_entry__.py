@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vocab.label_membership(F.col("source"), VOCAB_LABELS).alias("label_ok"),
     )
 
+    # -- J7 URL-status enrichment (broadcast status dimension)
+    q["url_status_compliance"] = lambda s, d: vocab.url_status_compliance(
+        _t(s, d, "documents")
+    )
+
     # -- multimodal binary columns (opaque payload + typed metadata)
     def _media(s: SparkSession, d: str):
         return multimodal.attach_fake_media(_t(s, d, "documents"))
@@ -775,6 +780,19 @@ FROM exploded GROUP BY doc_id
         f"lower(trim(source)) IN ({lbl_eq}) OR {lbl_contains}, FALSE) AS label_ok "
         "FROM documents"
     )
+
+    o["url_status_compliance"] = """
+WITH status_dim AS (
+  SELECT source,
+    CASE WHEN length(source) % 7 = 0 THEN 404
+         WHEN length(source) % 5 = 0 THEN 503
+         ELSE 200 END AS status
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.source, s.status, count(*) AS n_docs, (s.status = 200) AS ok
+FROM documents d JOIN status_dim s USING (source)
+GROUP BY d.source, s.status
+"""
 
     # -- multimodal (fake media: magic header by doc_id % 4 || utf-8 text;
     # fingerprints defined over lowercase hex so DuckDB's VARCHAR-only

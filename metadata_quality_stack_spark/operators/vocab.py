@@ -93,6 +93,37 @@ def vocabulary_compliance(
     )
 
 
+def url_status_compliance(docs: DataFrame) -> DataFrame:
+    """J7 — the reference's URL-status enrichment (accessURL/downloadURL
+    probe results joined back into scoring, validators.py checker family).
+    Per-record network I/O is externalized by design (never driver-side
+    HTTP in a Spark job); the probe results arrive as a STATUS DIMENSION
+    keyed by source/host, broadcast-joined to the corpus — the only sane
+    shape at 100 TB (the dim is |hosts|-sized, the fact side never
+    shuffles). Here the dim is synthesized deterministically from the
+    source key (status derived from its hash class), standing in for the
+    crawler's fetch-status sidecar table.
+
+    Output: per-source doc counts with their status and OK rate."""
+    status_dim = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(F.length("source") % 7 == 0, F.lit(404))
+            .when(F.length("source") % 5 == 0, F.lit(503))
+            .otherwise(F.lit(200))
+            .alias("status"),
+        )
+    )
+    joined = docs.join(F.broadcast(status_dim), "source")
+    return (
+        joined.groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("ok", F.col("status") == 200)
+    )
+
+
 def source_compliance(
     docs: DataFrame, allowed_sources: list[str]
 ) -> DataFrame:
