@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_df=JACCARD_MAX_DF,
     )
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
+    # C4-style corpus-level line dedup (census + scrub transform)
+    q["line_dup_stats"] = lambda s, d: dedup.line_dup_stats(_t(s, d, "documents"))
+    q["drop_duplicated_lines"] = lambda s, d: dedup.drop_duplicated_lines(
+        _t(s, d, "documents")
+    )
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
 
     # -- flagship full pipeline (model UDFs not SQL-expressible: rows-only
@@ -712,6 +717,34 @@ FROM (
   FROM common c JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
 )
 WHERE round(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) >= 0.2
+"""
+    o["line_dup_stats"] = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+nb AS (SELECT doc_id, md5(line) AS lh FROM lines WHERE trim(line) <> ''),
+dfc AS (SELECT lh, count(DISTINCT doc_id) AS df FROM nb GROUP BY lh)
+SELECT doc_id, count(*) AS n_lines,
+  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+  round(coalesce(
+    CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / nullif(CAST(count(*) AS DOUBLE), 0.0), 0.0), 6) AS dup_line_fraction
+FROM nb JOIN dfc USING (lh) GROUP BY doc_id
+"""
+    o["drop_duplicated_lines"] = """
+WITH split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM split
+),
+nb AS (SELECT doc_id, pos, line, md5(line) AS lh FROM lines WHERE trim(line) <> ''),
+dfc AS (SELECT lh, count(DISTINCT doc_id) AS df FROM nb GROUP BY lh),
+kept AS (SELECT nb.doc_id, nb.pos, nb.line FROM nb JOIN dfc USING (lh) WHERE df = 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
     ph = dedup.poly_hash_sql("x")
     votes = []

@@ -245,6 +245,81 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     return docs.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def line_dup_stats(docs: DataFrame) -> DataFrame:
+    """C4-style line-level duplication census: for every document, how
+    many of its non-blank lines also occur in OTHER documents (global
+    document-frequency of the line hash > 1). The boilerplate detector
+    that operates across the corpus rather than within a page.
+
+    Shape: explode lines -> md5 -> df = countDistinct(doc) per hash (one
+    shuffle, map-side partial) -> hash join back -> per-doc rollup (second
+    shuffle on doc_id). Lines move as 16-byte hashes, never as text."""
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n", -1)).alias("line")
+    ).filter(F.trim(F.col("line")) != "")
+    hashed = lines.select(
+        "doc_id", F.md5(F.encode(F.col("line"), "UTF-8")).alias("lh")
+    )
+    df_counts = hashed.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        hashed.join(df_counts, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup_lines"),
+        )
+        .withColumn(
+            "dup_line_fraction",
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_lines").cast("double")
+                    / F.nullif(F.col("n_lines").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def drop_duplicated_lines(docs: DataFrame) -> DataFrame:
+    """C4's corpus-level boilerplate scrub: rebuild each document with
+    globally-duplicated lines removed (a line survives only if its hash
+    occurs in exactly one document). Order-preserving: lines re-assemble
+    by original position. Docs whose every line is boilerplate come back
+    as the empty string."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n", -1)).alias("pos", "line")
+    ).filter(F.trim(F.col("line")) != "")
+    hashed = lines.withColumn(
+        "lh", F.md5(F.encode(F.col("line"), "UTF-8"))
+    )
+    df_counts = hashed.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    kept = hashed.join(df_counts, "lh").filter(F.col("df") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+        )
+    )
+
+
 def simhash_fast(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     """Production SimHash: xxhash64 token hashes (one JVM intrinsic per
     token) instead of the per-character interpreted polynomial fold the

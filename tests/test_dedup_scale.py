@@ -76,6 +76,30 @@ def test_frequent_shingle_pruning_bounds_join(spark):
     assert hot > 0
 
 
+def test_line_dedup_census_and_scrub(spark):
+    """Global line dedup: the shared boilerplate line is flagged in the
+    census and removed by the scrub, unique lines survive in order."""
+    boiler = "all rights reserved"
+    rows = [
+        (0, f"first unique zero\n{boiler}\nlast unique zero"),
+        (1, f"{boiler}\nonly unique one"),
+        (2, "totally unique doc two"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in dedup.line_dup_stats(docs).collect()}
+    assert stats[0].n_lines == 3 and stats[0].n_dup_lines == 1
+    assert abs(stats[0].dup_line_fraction - round(1 / 3, 6)) < 1e-9
+    assert stats[2].n_dup_lines == 0
+    assert 3 not in stats  # no non-blank lines -> no census row
+    clean = {r.doc_id: r.clean_text
+             for r in dedup.drop_duplicated_lines(docs).collect()}
+    assert clean[0] == "first unique zero\nlast unique zero"  # order kept
+    assert clean[1] == "only unique one"
+    assert clean[2] == "totally unique doc two"
+    assert clean[3] == ""
+
+
 def test_exact_dedup_still_covers_short_docs(spark):
     """The short docs LSH skips are exactly what exact dedup catches."""
     docs = _corpus(spark)
