@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["report_dqv"] = lambda s, d: textops.report_dqv(
         _t(s, d, "documents"), meta_cols=analytics.DOC_META
     )
+    q["repetition_stats"] = lambda s, d: textops.repetition_stats(
+        _t(s, d, "documents")
+    )
     q["bpe_token_stats"] = lambda s, d: textops.bpe_token_stats(
         _t(s, d, "documents")
     )
@@ -589,6 +592,33 @@ FROM f
         "FROM documents"
     )
 
+    lows_sql = (
+        "list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), "
+        "x -> x <> ''), x -> lower(x))"
+    )
+    o["repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {lows_sql} AS lows FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(lows) >= 2 THEN
+      list_transform(generate_series(1, len(lows) - 1),
+                     i -> array_to_string(lows[i:i+1], ' '))
+    ELSE [] END) AS bg
+  FROM t
+),
+counts AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+    CAST(max(c) AS BIGINT) AS top_bigram_count
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.n_bigrams, 0) AS n_bigrams,
+  coalesce(p.top_bigram_count, 0) AS top_bigram_count,
+  round(coalesce(CAST(p.top_bigram_count AS DOUBLE)
+    / nullif(CAST(p.n_bigrams AS DOUBLE), 0.0), 0.0), 6) AS top_bigram_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
     bpe_all = textops.BPE_PRETOKEN_RE.replace("'", "''")
     bpe_nonws = r"''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
     o["bpe_token_stats"] = f"""

@@ -169,6 +169,51 @@ def report_json(scored: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition readout: the occupancy of each document's
+    most frequent word 2-gram (token salad and template spam repeat a few
+    bigrams; clean prose tops out low). One explode + two aggregations;
+    bigrams shuffle as strings only for this standalone analytics query —
+    the hot-path repetition guard is line_uniqueness in the rule engine.
+    Docs with < 2 tokens report zero bigrams."""
+    lows = F.transform(token_array(F.col("text")), lambda x: F.lower(x))
+    n = F.size(lows)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(lows, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode_outer(bigrams).alias("bg"))
+    counts = (
+        ex.filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count").cast("double")
+                    / F.nullif(F.col("n_bigrams").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_fraction"),
+        )
+    )
+
+
 # shared per-metric measurement template (Spark format_string / DuckDB
 # printf both implement C-style %s/%d/%.Nf, and inputs are pre-rounded so
 # the rendered bytes agree across engines)

@@ -1,0 +1,81 @@
+"""Sustained 10x throughput check: 1,000,000 synthetic pages through the
+FULL quality pipeline at local[32], materialized via a noop-style count
+of fully-computed rows. Run twice; the second (JIT/model-warm) run is the
+steady-state number recorded in BENCH/BASELINE.md. Also reports driver
+RSS before/after to show there is no driver-side accumulation.
+
+Usage: python tools/sustained_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark import get_spark
+    from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+    from metadata_quality_stack_spark.sources.pages import pages_spark_df
+
+    spark = get_spark(app_name="sustained-bench")
+    base = 4000
+    replicas = max(n_docs // base, 1)
+    reps = spark.range(replicas).select(F.col("id").alias("replica"))
+    pages = (
+        pages_spark_df(spark, base, seed=7)
+        .crossJoin(reps)
+        .withColumn(
+            "url", F.concat_ws("/", "url", F.col("replica").cast("string"))
+        )
+        .drop("replica")
+        .repartition(128)
+    )
+    tmp = "/tmp/sustained_pages"
+    pages.write.mode("overwrite").parquet(tmp)
+
+    def fresh_probe():
+        # rebuild the whole plan from a fresh scan each run — reusing one
+        # DataFrame object lets Spark reuse the agg's shuffle map output
+        # and the second run measures nothing
+        scored = quality_pipeline(
+            spark.read.parquet(tmp),
+            id_cols=("url",),
+            lang_col="lang",
+            include_text=True,
+        )
+        # force full computation of every output column (scrubbed text incl.)
+        return scored.select(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+            F.sum("scrub_count").alias("scrubbed"),
+            F.sum(F.length("scrubbed_text")).alias("out_bytes"),
+        )
+
+    for run in (1, 2):
+        t0 = time.time()
+        row = fresh_probe().collect()[0]
+        wall = time.time() - t0
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(
+            {
+                "run": run,
+                "docs": int(row["n"]),
+                "kept": int(row["kept"]),
+                "wall_s": round(wall, 1),
+                "docs_per_sec": round(row["n"] / wall, 1),
+                "driver_rss_mb": round(rss_mb, 1),
+            }
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
