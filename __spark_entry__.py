@@ -116,6 +116,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_props_extract"] = lambda s, d: analytics.events_props_extract(
         _t(s, d, "events")
     )
+    q["event_sessions"] = lambda s, d: analytics.sessionize(_t(s, d, "events"))
+    q["score_quantiles_by_source"] = lambda s, d: (
+        _scored(s, d)
+        .groupBy("source")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(total_score, {p!r})"), 4
+                ).alias(f"p{int(p * 100)}")
+                for p in (0.25, 0.5, 0.75)
+            ]
+        )
+    )
     q["report_turtle"] = lambda s, d: textops.report_turtle(_scored(s, d))
 
     # -- corpus shaping (sampling / quotas / distribution readout)
@@ -513,6 +526,37 @@ UNION ALL SELECT 'unique', count(*) FROM uniq
 UNION ALL SELECT 'sampled', count(*) FROM sampled
 UNION ALL SELECT 'capped', count(*) FROM capped
 """
+    o["event_sessions"] = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, value,
+    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS gap
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM gapped
+),
+sess AS (
+  SELECT *, CAST(sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+    scored_src2 = sqlgen.native_scoring_sql(extra_cols=("source",))
+    o["score_quantiles_by_source"] = (
+        f"WITH scored AS ({scored_src2}) SELECT source, "
+        + ", ".join(
+            f"round(quantile_cont(total_score, {p!r}), 4) AS p{int(p * 100)}"
+            for p in (0.25, 0.5, 0.75)
+        )
+        + " FROM scored GROUP BY source"
+    )
     o["events_props_extract"] = """
 SELECT event_type, count(*) AS n_events,
   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,

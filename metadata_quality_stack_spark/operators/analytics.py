@@ -133,6 +133,34 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds the timeout — the canonical lag + cumulative-
+    sum window pair. One shuffle on user_id serves both windows (same
+    partitioning); session stats per (user, session). The streaming twin
+    is ``F.session_window`` in streaming/stream.py's aggregation family."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp, not cast: the parquet column is TIMESTAMP_NTZ, which
+    # refuses a direct BIGINT cast
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    with_sess = events.withColumn(
+        "session_id", F.sum(new_session).over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def events_props_extract(events: DataFrame) -> DataFrame:
     """Semi-structured payload extraction (§2.8 json fns): pull a field
     out of the JSON ``props`` column and aggregate it per event type —
