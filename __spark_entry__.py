@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from metadata_quality_stack_spark import config
 from metadata_quality_stack_spark.operators import (
     analytics,
+    contamination,
     dedup,
     multimodal,
     sampling,
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_fingerprint"] = lambda s, d: textops.rolling_fingerprint(
         _t(s, d, "documents")
     )
+    q["term_stats"] = lambda s, d: textops.term_stats(_t(s, d, "documents"))
 
     # -- dedup family
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents"))
@@ -317,6 +319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.ivf_assign(_t(s, d, "embeddings"))
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_vecs"))
+    )
+    q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
+        _t(s, d, "embeddings")
+    )
+    q["decontaminate"] = lambda s, d: contamination.decontaminate(
+        _t(s, d, "documents")
     )
 
     # -- relational coverage (joins, conditional agg)
@@ -1057,4 +1065,9 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+    # -- training-data pipeline additions (round 2)
+    o["term_stats"] = textops.term_stats_sql()
+    o["semantic_dedup"] = similarity.semantic_dedup_sql()
+    o["decontaminate"] = contamination.decontaminate_sql()
     return o

@@ -32,7 +32,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # nullif: a zero vector has zero norm; ANSI mode would raise on /0.
+    # NULL mirrors DuckDB's native x/0 -> NULL, so oracle parity holds
+    # and threshold comparisons treat zero-vectors as never-similar.
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 def hyperplanes(
@@ -365,3 +368,57 @@ def lsh_bucket_sql(emb: str, planes: list[list[float]] | None = None) -> str:
         for p in planes
     ]
     return " || ".join(bits)
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (publicly described in
+    Abbas et al. 2023, arXiv:2303.09540): within LSH buckets, any vector
+    whose cosine similarity to a LOWER-id vector reaches ``threshold``
+    is a semantic duplicate; the lowest id in each near-dup
+    neighborhood survives. Returns every vector with a ``keep`` flag —
+    the training-set selection mask.
+
+    Scale shape: the pair stage is the bucketed self-join from
+    :func:`embedding_near_dup_pairs` (shuffle key = bucket string,
+    vectors never shuffle all-pairs); the keep mask is one left join on
+    vec_id against the aggregated dropped set (size = #duplicates, not
+    #pairs). No connected components needed: the min-id rule is
+    transitive-closure-free by construction (a doc is dropped iff ANY
+    smaller-id neighbor exists, whether or not that neighbor survives)
+    — matching SemDeDup's 'keep one representative per epsilon-ball'
+    up to the bucket partition, and oracle-expressible without
+    recursion."""
+    dropped = (
+        embedding_near_dup_pairs(embeddings, threshold)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        embeddings.select("vec_id", "label")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(threshold: float = 0.3) -> str:
+    """DuckDB mirror of :func:`semantic_dedup`."""
+    bucket = lsh_bucket_sql("embedding")
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {threshold}
+)
+SELECT e.vec_id, e.label,
+       (e.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+FROM embeddings e
+"""

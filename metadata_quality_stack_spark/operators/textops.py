@@ -353,3 +353,53 @@ def rolling_fingerprint_fast(docs: DataFrame) -> DataFrame:
         F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r]+", " ")
     )
     return docs.select("doc_id", F.xxhash64(norm).alias("rolling_hash"))
+
+
+def term_stats(docs: DataFrame, limit: int = 50) -> DataFrame:
+    """Corpus vocabulary census: per-term frequency (tf), document
+    frequency (df), and smoothed idf = ln((N+1)/(df+1)) — the readout a
+    tokenizer-training / stopword-mining / tf-idf stage starts from.
+    Top ``limit`` terms by tf (term-asc tiebreak).
+
+    Scale shape: explode(lowercased tokens) -> ONE groupBy(term) with
+    map-side partial aggregation (count + count(distinct doc_id) in the
+    same exchange); hot stopword terms are exactly what partial agg
+    absorbs. The corpus-size scalar N joins in as a broadcast 1-row agg
+    — no second pass over the data is keyed by it. Top-k is
+    TakeOrdered, never a full sort."""
+    toks = token_array(F.lower(F.col("text")))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    per_term = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(limit)
+    )
+
+
+def term_stats_sql(table: str = "documents", limit: int = 50) -> str:
+    """DuckDB mirror of :func:`term_stats` (same tokenization as _lows_sql)."""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_lows_sql("text")}) AS term FROM {table}),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+per AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY term)
+SELECT term, tf, df, round(ln((n_docs + 1) / (df + 1)), 6) AS idf
+FROM per, n
+ORDER BY tf DESC, term ASC LIMIT {limit}
+"""

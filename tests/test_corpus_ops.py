@@ -1,0 +1,115 @@
+"""Round-2 training-pipeline additions: decontamination, vocabulary
+census (term_stats), SemDeDup-style semantic dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import contamination, similarity, textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    # doc 0 is eval (0 % 41 == 0); doc 1 shares a 3-gram, doc 2 doesn't
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "x alpha beta gamma y"),
+            (2, "one two three four five"),
+            (3, "no overlap here at all"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in contamination.decontaminate(docs).collect()
+    }
+    assert set(out) == {1}
+    # doc 1 shingles: {x alpha beta, alpha beta gamma, beta gamma y} -> 1 shared
+    assert out[1]["n_shingles"] == 3
+    assert out[1]["n_shared"] == 1
+    assert out[1]["contamination_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_decontaminate_eval_docs_and_short_docs_excluded(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c d"),
+            (41, "a b c"),  # eval too (41 % 41 == 0)
+            (2, "a b"),  # < 3 tokens: no shingles, never contaminated
+            (3, "b c d"),  # shares "b c d" with doc 0
+        ],
+    )
+    out = {r["doc_id"] for r in contamination.decontaminate(docs).collect()}
+    assert out == {3}
+
+
+def test_decontaminate_eval_side_is_broadcast(spark):
+    docs = _docs(spark, [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(100)])
+    plan = contamination.decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_term_stats_counts_and_idf(spark):
+    import math
+
+    docs = _docs(
+        spark,
+        [
+            (1, "The cat sat"),
+            (2, "the DOG sat sat"),
+            (3, "bird"),
+        ],
+    )
+    rows = {r["term"]: r.asDict() for r in textops.term_stats(docs).collect()}
+    assert rows["sat"]["tf"] == 3 and rows["sat"]["df"] == 2
+    assert rows["the"]["tf"] == 2 and rows["the"]["df"] == 2  # case-folded
+    assert rows["bird"]["tf"] == 1 and rows["bird"]["df"] == 1
+    assert rows["the"]["idf"] == pytest.approx(round(math.log(4 / 3), 6))
+    # top-by-tf ordering with term tiebreak
+    ordered = [r["term"] for r in textops.term_stats(docs, limit=2).collect()]
+    assert ordered == ["sat", "the"]
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # v0/v1 identical direction (cos=1); v2 orthogonal-ish
+    dim = similarity.DIM
+    e = [1.0] + [0.0] * (dim - 1)
+    o = [0.0, 1.0] + [0.0] * (dim - 2)
+    emb = spark.createDataFrame(
+        [(0, e, "a"), (1, e, "a"), (2, o, "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = {r["vec_id"]: r["keep"] for r in similarity.semantic_dedup(emb, 0.9).collect()}
+    assert out == {0: True, 1: False, 2: True}
+
+
+def test_cosine_zero_vector_is_null_not_ansi_error(spark):
+    """Spark 4 ANSI mode raises on /0; a zero embedding must yield NULL
+    cosine (DuckDB's native x/0 semantics), never similar, never a crash."""
+    dim = similarity.DIM
+    emb = spark.createDataFrame(
+        [(0, [0.0] * dim, "z"), (1, [1.0] * dim, "y"), (2, [1.0] * dim, "y")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = {r["vec_id"]: r["keep"] for r in similarity.semantic_dedup(emb).collect()}
+    assert out == {0: True, 1: True, 2: False}
+    pairs = similarity.embedding_near_dup_pairs(emb, 0.0).collect()
+    assert {(r["v1"], r["v2"]) for r in pairs} == {(1, 2)}
+
+
+def test_semantic_dedup_no_allpairs_shuffle(spark):
+    """The pair stage must join on the bucket key, not cross-join."""
+    dim = similarity.DIM
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * dim, "x") for i in range(50)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    plan = (
+        similarity.semantic_dedup(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
