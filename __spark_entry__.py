@@ -118,6 +118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events")
     )
     q["event_sessions"] = lambda s, d: analytics.sessionize(_t(s, d, "events"))
+    q["purchase_asof_view"] = lambda s, d: analytics.purchase_asof_view(
+        _t(s, d, "events")
+    )
+    q["threshold_sweep"] = lambda s, d: analytics.threshold_sweep(_scored(s, d))
+    q["source_lang_entropy"] = lambda s, d: analytics.source_lang_entropy(
+        _t(s, d, "documents")
+    )
     q["score_quantiles_by_source"] = lambda s, d: (
         _scored(s, d)
         .groupBy("source")
@@ -1070,4 +1077,36 @@ GROUP BY n_name
     o["term_stats"] = textops.term_stats_sql()
     o["semantic_dedup"] = similarity.semantic_dedup_sql()
     o["decontaminate"] = contamination.decontaminate_sql()
+
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # union-tag window formulation (analytics.asof_join)
+    o["purchase_asof_view"] = """
+WITH v AS (SELECT user_id, ts, event_id AS id, value FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id AS id FROM events
+      WHERE event_type = 'purchase')
+SELECT p.id AS probe_id, p.user_id, p.ts,
+       v.id AS asof_id, v.ts AS asof_ts, v.value AS asof_value,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+    sweep_list = ", ".join(str(t) for t in range(0, 351, 25))
+    o["threshold_sweep"] = f"""
+WITH scored AS ({scored}),
+t AS (SELECT unnest([{sweep_list}]) AS threshold)
+SELECT CAST(t.threshold AS INT) AS threshold,
+       CAST(count(*) FILTER (WHERE s.total_score >= t.threshold) AS BIGINT)
+         AS n_keep,
+       round(count(*) FILTER (WHERE s.total_score >= t.threshold)
+             / count(*), 6) AS keep_rate
+FROM scored s CROSS JOIN t GROUP BY 1
+"""
+
+    o["source_lang_entropy"] = """
+WITH per AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_langs,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS lang_entropy
+FROM per GROUP BY source
+"""
     return o

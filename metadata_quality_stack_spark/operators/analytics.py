@@ -307,3 +307,137 @@ def union_keep_drop_extremes(scored: DataFrame) -> DataFrame:
         .select("doc_id", "total_score", F.lit("worst").alias("bucket"))
     )
     return best.unionByName(worst)
+
+
+def asof_join(
+    probes: DataFrame,
+    updates: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distributed as-of join: for each probe row, the latest update row
+    of the same key with update.ts <= probe.ts (left semantics — probes
+    with no prior update keep NULL match columns). The trades/quotes
+    pattern; Spark has no native ASOF JOIN (DuckDB/Pandas do), so this
+    is the union-tag formulation:
+
+    tag updates 0 / probes 1, union, ONE shuffle on the key, ONE
+    sort-within-partitions on (ts, tag, id), then a running
+    last(ignorenulls) window carries each update's columns forward to
+    the probes that follow it. No range join, no per-probe subquery,
+    no row explosion — the cost is the same single exchange a
+    groupBy(key) pays, and updates at the exact probe timestamp win
+    (tag 0 sorts first), matching ASOF's <= convention.
+
+    ``probes``/``updates`` carry (key, ts_col, id, value); outputs
+    probe id/ts plus asof_id, asof_ts, asof_value, gap_us.
+    """
+    up = updates.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("_tag"),
+        F.col("id").alias("asof_id"),
+        F.col(ts_col).alias("asof_ts"),
+        F.col("value").alias("asof_value"),
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    pr = probes.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("asof_id"),
+        # NTZ, matching the parquet ts type — a plain "timestamp" null
+        # would coerce the whole union branch through a TZ cast
+        F.lit(None).cast("timestamp_ntz").alias("asof_ts"),
+        F.lit(None).cast("double").alias("asof_value"),
+        F.col("id").alias("probe_id"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc(), F.col("asof_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = up.unionByName(pr).select(
+        key,
+        ts_col,
+        "_tag",
+        "probe_id",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in ("asof_id", "asof_ts", "asof_value")
+        ],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        "probe_id",
+        key,
+        ts_col,
+        "asof_id",
+        "asof_ts",
+        "asof_value",
+        # unix_micros needs TIMESTAMP; the NTZ->TIMESTAMP cast offset
+        # cancels in the difference, so gap_us is TZ-independent
+        (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def purchase_asof_view(events: DataFrame) -> DataFrame:
+    """Gate wiring for :func:`asof_join`: each purchase matched to the
+    user's latest prior (or simultaneous) view event."""
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("id"), "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("id"), "value"
+    )
+    return asof_join(purchases, views)
+
+
+def threshold_sweep(
+    scored: DataFrame, thresholds: tuple[int, ...] = tuple(range(0, 351, 25))
+) -> DataFrame:
+    """Keep-rate as a function of the total-score cutoff — the curve a
+    curation run reads before choosing its filter threshold. ONE pass:
+    a conditional sum per threshold inside a single global aggregate
+    (map-side partials reduce each partition to |thresholds| counters);
+    the long output shape is unpivoted from the 1-row aggregate with
+    stack(), which is free. Never explodes rows by |thresholds|."""
+    n = F.count("*")
+    aggs = [n.alias("n_docs")] + [
+        F.sum((F.col("total_score") >= t).cast("long")).alias(f"k{t}")
+        for t in thresholds
+    ]
+    wide = scored.agg(*aggs)
+    pairs = ", ".join(f"{t}, k{t}" for t in thresholds)
+    return wide.select(
+        F.expr(f"stack({len(thresholds)}, {pairs}) AS (threshold, n_keep)"),
+        "n_docs",
+    ).select(
+        F.col("threshold").cast("int").alias("threshold"),
+        "n_keep",
+        F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+    )
+
+
+def source_lang_entropy(docs: DataFrame) -> DataFrame:
+    """Per-source language-mix diversity: Shannon entropy (nats) of the
+    language distribution, plus doc and distinct-language counts — the
+    corpus-mix readout behind reweighting decisions. Two chained
+    aggregations ((source, lang) then source), both with map-side
+    partials; entropy is computed from counts, never from rates joined
+    back (one exchange per level, no self-join)."""
+    per = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = per.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+    )
+    p_entropy = F.log("n_docs") - F.col("_clogc") / F.col("n_docs")
+    return tot.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(p_entropy, 6).alias("lang_entropy"),
+    )
