@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["purchase_asof_view"] = lambda s, d: analytics.purchase_asof_view(
         _t(s, d, "events")
     )
+    q["errors_near_purchases"] = lambda s, d: analytics.errors_near_purchases(
+        _t(s, d, "events")
+    )
     q["threshold_sweep"] = lambda s, d: analytics.threshold_sweep(_scored(s, d))
     q["source_lang_entropy"] = lambda s, d: analytics.source_lang_entropy(
         _t(s, d, "documents")
@@ -1089,6 +1092,18 @@ SELECT p.id AS probe_id, p.user_id, p.ts,
        v.id AS asof_id, v.ts AS asof_ts, v.value AS asof_value,
        epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+    # key-free temporal range join (bin-bucketed on the Spark side);
+    # DuckDB's IEJoin handles the bare BETWEEN directly
+    o["errors_near_purchases"] = """
+WITH p AS (SELECT event_id AS probe_id, epoch_us(ts) AS probe_us FROM events
+           WHERE event_type = 'purchase'),
+e AS (SELECT event_id AS point_id, epoch_us(ts) AS point_us FROM events
+      WHERE event_type = 'error')
+SELECT p.probe_id, e.point_id, e.point_us - p.probe_us AS dt_us
+FROM p JOIN e ON e.point_us BETWEEN p.probe_us - 60000000
+                               AND p.probe_us + 60000000
 """
 
     sweep_list = ", ".join(str(t) for t in range(0, 351, 25))

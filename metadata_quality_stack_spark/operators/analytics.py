@@ -441,3 +441,67 @@ def source_lang_entropy(docs: DataFrame) -> DataFrame:
         "n_langs",
         F.round(p_entropy, 6).alias("lang_entropy"),
     )
+
+
+def range_join_bins(
+    probes: DataFrame,
+    points: DataFrame,
+    window_s: int = 60,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Key-free temporal range join: all (probe, point) pairs with
+    |point.ts - probe.ts| <= window_s. Spark plans a bare range
+    predicate as BroadcastNestedLoop/CartesianProduct — O(n*m) and a
+    broadcast of a whole table; this is the standard bin-bucketing
+    rewrite instead:
+
+    bin every point at floor(ts / W); explode each probe to the 2-3
+    bins its +/-W interval can touch; equi-join on the bin; filter the
+    exact predicate. A point lives in exactly ONE bin, so a pair can
+    match only once — no dedup stage. The shuffle key is a dense int
+    (time bin), the join is a real hash/sort-merge join, and hot time
+    ranges are ordinary skew AQE can split. Cost: |points| + ~3|probes|
+    shuffled rows, vs |points| x |probes| compared.
+
+    Inputs carry (id, ts_col); output: probe_id, point_id, dt_us
+    (point minus probe, negative = point earlier).
+    """
+    w_us = int(window_s) * 1_000_000
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    pt = points.select(
+        F.col("id").alias("point_id"),
+        us(F.col(ts_col)).alias("point_us"),
+        F.floor(us(F.col(ts_col)) / w_us).alias("bin"),
+    )
+    pr = probes.select(
+        F.col("id").alias("probe_id"),
+        us(F.col(ts_col)).alias("probe_us"),
+        F.explode(
+            F.sequence(
+                F.floor((us(F.col(ts_col)) - w_us) / w_us),
+                F.floor((us(F.col(ts_col)) + w_us) / w_us),
+            )
+        ).alias("bin"),
+    )
+    return (
+        pr.join(pt, "bin")
+        .filter(F.abs(F.col("point_us") - F.col("probe_us")) <= w_us)
+        .select(
+            "probe_id",
+            "point_id",
+            (F.col("point_us") - F.col("probe_us")).alias("dt_us"),
+        )
+    )
+
+
+def errors_near_purchases(events: DataFrame, window_s: int = 60) -> DataFrame:
+    """Gate wiring for :func:`range_join_bins`: every error event within
+    +/-window_s of any purchase, across ALL users (no equi key — the
+    hard case)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id"), "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id"), "ts"
+    )
+    return range_join_bins(purchases, errors, window_s)

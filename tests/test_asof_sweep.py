@@ -74,3 +74,28 @@ def test_source_lang_entropy_values(spark):
     assert out["a"]["lang_entropy"] == pytest.approx(round(math.log(2), 6))
     assert out["a"]["n_langs"] == 2
     assert out["b"]["lang_entropy"] == 0.0 and out["b"]["n_docs"] == 2
+
+
+def test_range_join_bins_exact_and_no_nested_loop(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00")),
+            (2, _ts("2024-01-01T00:00:59")),
+            (3, _ts("2024-01-01T00:01:00")),
+            (4, _ts("2024-01-01T00:01:01")),
+            (5, _ts("2024-01-01T00:05:00")),
+        ],
+        "id long, ts timestamp_ntz",
+    )
+    probes = spark.createDataFrame(
+        [(100, _ts("2024-01-01T00:00:00"))], "id long, ts timestamp_ntz"
+    )
+    out = analytics.range_join_bins(probes, pts, window_s=60)
+    got = {(r["probe_id"], r["point_id"]): r["dt_us"] for r in out.collect()}
+    # +/-60s inclusive: ids 1,2,3 in range; 4 is 61s late, 5 far away
+    assert got == {(100, 1): 0, (100, 2): 59_000_000, (100, 3): 60_000_000}
+    # a pair matches exactly once (point lives in one bin) and the plan
+    # is a real equi-join on the bin, not a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
