@@ -128,6 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_lang_entropy"] = lambda s, d: analytics.source_lang_entropy(
         _t(s, d, "documents")
     )
+    q["chunk_documents"] = lambda s, d: sampling.chunk_documents(
+        _t(s, d, "documents")
+    )
+    q["lang_mix_weights"] = lambda s, d: sampling.lang_mix_weights(
+        _t(s, d, "documents")
+    )
     q["score_quantiles_by_source"] = lambda s, d: (
         _scored(s, d)
         .groupBy("source")
@@ -1116,6 +1122,17 @@ SELECT CAST(t.threshold AS INT) AS threshold,
        round(count(*) FILTER (WHERE s.total_score >= t.threshold)
              / count(*), 6) AS keep_rate
 FROM scored s CROSS JOIN t GROUP BY 1
+"""
+
+    o["chunk_documents"] = sampling.chunk_documents_sql()
+    o["lang_mix_weights"] = """
+WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs FROM per)
+SELECT lang, n_docs,
+       round(n_docs / total, 6) AS actual_share,
+       round(1.0 / n_langs, 6) AS target_share,
+       round((total / n_langs) / n_docs, 6) AS weight
+FROM per, tot
 """
 
     o["source_lang_entropy"] = """

@@ -68,3 +68,84 @@ def score_quantiles(
             for p in probs
         ]
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_chars: int = 500, overlap: int = 50
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the sequence-shaping step between curation and tokenization (every
+    pre-training pipeline packs docs into model-context-sized pieces;
+    a token-budgeted variant swaps length() for a token count, same
+    plumbing). Map-only: sequence + explode + substring are all native
+    expressions evaluated inside the scan stage — no shuffle, no UDF,
+    and chunking composes with partition pruning. Empty/NULL texts
+    produce no chunks.
+
+    Output: (doc_id, chunk_idx, chunk_start [1-based], chunk_text,
+    n_chunk_chars)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    n = F.length("text")
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("chunk_start"), F.lit(chunk_chars)).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk_text").cast("long"))
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents", chunk_chars: int = 500, overlap: int = 50
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (same 1-based substr)."""
+    step = chunk_chars - overlap
+    return f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, len(text), {step})) AS chunk_start,
+  FROM {table} WHERE len(text) >= 1
+)
+SELECT doc_id, CAST((chunk_start - 1) // {step} AS BIGINT) AS chunk_idx,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       substr(text, chunk_start, {chunk_chars}) AS chunk_text,
+       CAST(len(substr(text, chunk_start, {chunk_chars})) AS BIGINT)
+         AS n_chunk_chars
+FROM starts
+"""
+
+
+def lang_mix_weights(docs: DataFrame) -> DataFrame:
+    """Per-language resampling weights that rebalance the corpus to a
+    uniform language mix: weight_l = target_share / actual_share (>1 =
+    upsample, <1 = downsample) — the mixing table a data-loader or a
+    weighted sampler consumes. Two tiny aggregations (per-lang counts,
+    then the 1-row totals broadcast back); the big table is scanned
+    once and only lang moves through the exchange."""
+    per = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_langs")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("actual_share"),
+        F.round(1.0 / F.col("n_langs"), 6).alias("target_share"),
+        F.round(
+            (F.col("total") / F.col("n_langs")) / F.col("n_docs"), 6
+        ).alias("weight"),
+    )

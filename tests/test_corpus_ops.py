@@ -113,3 +113,44 @@ def test_semantic_dedup_no_allpairs_shuffle(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, None), (4, "xy")],
+        "doc_id long, text string",
+    )
+    rows = sampling.chunk_documents(docs, chunk_chars=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,4,7,10 (step 3) -> abcd, defg, ghij, j
+    chunks = sorted((r["chunk_idx"], r["chunk_start"], r["chunk_text"]) for r in by_doc[1])
+    assert chunks == [(0, 1, "abcd"), (1, 4, "defg"), (2, 7, "ghij"), (3, 10, "j")]
+    assert by_doc[1][0]["n_chunk_chars"] == 4
+    # empty and NULL texts: no chunks; short text: one chunk
+    assert 2 not in by_doc and 3 not in by_doc
+    assert [r["chunk_text"] for r in by_doc[4]] == ["xy"]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(docs, chunk_chars=4, overlap=4)
+
+
+def test_lang_mix_weights_uniform_target(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [("en",)] * 3 + [("es",)], "lang string"
+    )
+    out = {r["lang"]: r.asDict() for r in sampling.lang_mix_weights(docs).collect()}
+    assert out["en"]["actual_share"] == 0.75
+    assert out["en"]["target_share"] == 0.5
+    assert out["en"]["weight"] == pytest.approx(2 / 3, abs=1e-6)  # downsample
+    assert out["es"]["weight"] == 2.0  # upsample
