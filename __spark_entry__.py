@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_mix_weights"] = lambda s, d: sampling.lang_mix_weights(
         _t(s, d, "documents")
     )
+    q["pack_chunks"] = lambda s, d: sampling.pack_chunks(
+        sampling.chunk_documents(_t(s, d, "documents"))
+    )
     q["score_quantiles_by_source"] = lambda s, d: (
         _scored(s, d)
         .groupBy("source")
@@ -1125,6 +1128,7 @@ FROM scored s CROSS JOIN t GROUP BY 1
 """
 
     o["chunk_documents"] = sampling.chunk_documents_sql()
+    o["pack_chunks"] = sampling.pack_chunks_sql()
     o["lang_mix_weights"] = """
 WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
 tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs FROM per)

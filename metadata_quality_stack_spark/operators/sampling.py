@@ -149,3 +149,62 @@ def lang_mix_weights(docs: DataFrame) -> DataFrame:
             (F.col("total") / F.col("n_langs")) / F.col("n_docs"), 6
         ).alias("weight"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame, context_chars: int = 2000, n_shards: int = 8
+) -> DataFrame:
+    """Concat-and-slice packing accounting (the GPT-style pretraining
+    layout: concatenate a shard's chunks in deterministic order, slice
+    into fixed context windows): assigns every chunk its byte offset in
+    the shard stream and the context-window index where it starts.
+
+    Scale shape: packing is embarrassingly parallel per shard —
+    shard = doc_id % n_shards, ONE shuffle on the shard key, a running
+    sum window inside each shard, no global ordering anywhere (a
+    single global cumsum would serialize the corpus through one
+    partition; per-shard streams are exactly how a multi-worker data
+    loader consumes them). Deterministic order: (doc_id, chunk_idx).
+
+    Output: (shard, doc_id, chunk_idx, start_offset [0-based in the
+    shard stream], pack_bin = start_offset // context_chars)."""
+    sharded = chunks.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_chunk_chars").over(w) - F.col("n_chunk_chars")
+    return sharded.select(
+        "shard",
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_offset"),
+        F.floor(start / context_chars).alias("pack_bin"),
+    )
+
+
+def pack_chunks_sql(
+    table: str = "documents",
+    chunk_chars: int = 500,
+    overlap: int = 50,
+    context_chars: int = 2000,
+    n_shards: int = 8,
+) -> str:
+    """DuckDB mirror of chunk_documents |> pack_chunks."""
+    return f"""
+WITH chunks AS ({chunk_documents_sql(table, chunk_chars, overlap)}),
+sharded AS (SELECT *, CAST(doc_id % {n_shards} AS BIGINT) AS shard FROM chunks),
+off AS (
+  SELECT shard, doc_id, chunk_idx,
+         sum(n_chunk_chars) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_idx
+           ROWS UNBOUNDED PRECEDING) - n_chunk_chars AS start_offset
+  FROM sharded
+)
+SELECT shard, doc_id, chunk_idx, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {context_chars} AS BIGINT) AS pack_bin
+FROM off
+"""

@@ -154,3 +154,26 @@ def test_lang_mix_weights_uniform_target(spark):
     assert out["en"]["target_share"] == 0.5
     assert out["en"]["weight"] == pytest.approx(2 / 3, abs=1e-6)  # downsample
     assert out["es"]["weight"] == 2.0  # upsample
+
+
+def test_pack_chunks_offsets_and_bins(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    # two docs in the same shard (0 and 8 with n_shards=8)
+    chunks = spark.createDataFrame(
+        [
+            (0, 0, "aaaa", 4),
+            (0, 1, "bbb", 3),
+            (8, 0, "cccccc", 6),
+            (1, 0, "dd", 2),  # different shard, independent stream
+        ],
+        "doc_id long, chunk_idx long, chunk_text string, n_chunk_chars long",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["shard"], r["start_offset"], r["pack_bin"])
+        for r in sampling.pack_chunks(chunks, context_chars=5).collect()
+    }
+    assert out[(0, 0)] == (0, 0, 0)
+    assert out[(0, 1)] == (0, 4, 0)  # starts at 4, still window 0
+    assert out[(8, 0)] == (0, 7, 1)  # starts at 7 -> window 1
+    assert out[(1, 0)] == (1, 0, 0)  # own shard stream restarts at 0
