@@ -216,6 +216,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- dedup family
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents"))
+
+    def dedup_new_batch(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        return dedup.dedup_new_batch(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        )
+
+    q["dedup_new_batch"] = dedup_new_batch
     q["minhash_bands"] = lambda s, d: dedup.minhash_bands(_t(s, d, "documents"))
     q["minhash_candidate_pairs"] = lambda s, d: dedup.minhash_candidate_pairs(
         _t(s, d, "documents")
@@ -1129,6 +1138,7 @@ FROM scored s CROSS JOIN t GROUP BY 1
 
     o["chunk_documents"] = sampling.chunk_documents_sql()
     o["pack_chunks"] = sampling.pack_chunks_sql()
+    o["dedup_new_batch"] = dedup.dedup_new_batch_sql()
     o["lang_mix_weights"] = """
 WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
 tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs FROM per)

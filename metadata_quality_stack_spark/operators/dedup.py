@@ -402,3 +402,62 @@ def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", "cluster")
+
+
+def dedup_new_batch(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Incremental dedup: a NEW batch against the EXISTING corpus's
+    fingerprint index — the production mode at 100 TB (a crawl delta is
+    deduped against the historical index; nobody re-clusters the whole
+    corpus per ingest). A doc survives iff its exact fingerprint is
+    absent from the corpus AND it is the batch's first occurrence
+    (min doc_id) of that fingerprint.
+
+    Scale shape: the corpus side ships ONLY distinct md5 fingerprints
+    (16 bytes/doc, not text); the probe is one hash join on the
+    fingerprint — with the index stored as a bucketed table
+    (sources/bucketed.py) the historical side's shuffle disappears
+    entirely and only the delta moves. Within-batch first-occurrence
+    is a min_by-free groupBy(min) + self-equality, no window sort.
+
+    Output: (doc_id, fingerprint, seen_in_corpus, first_in_batch,
+    keep)."""
+    fp = F.md5(F.encode(F.col("text"), "UTF-8"))
+    corpus_fp = corpus.select(fp.alias("fingerprint")).distinct()
+    batch = new_docs.select("doc_id", fp.alias("fingerprint"))
+    first = batch.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("_first_id")
+    )
+    seen = corpus_fp.withColumn("_seen", F.lit(True))
+    return (
+        batch.join(first, "fingerprint")
+        .join(seen, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.coalesce(F.col("_seen"), F.lit(False)).alias("seen_in_corpus"),
+            (F.col("doc_id") == F.col("_first_id")).alias("first_in_batch"),
+            (
+                ~F.coalesce(F.col("_seen"), F.lit(False))
+                & (F.col("doc_id") == F.col("_first_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+def dedup_new_batch_sql(table: str = "documents", batch_mod: int = 10) -> str:
+    """DuckDB mirror: docs with doc_id % batch_mod == 0 are the new
+    batch, the rest the existing corpus."""
+    return f"""
+WITH batch AS (SELECT doc_id, md5(text) AS fingerprint FROM {table}
+               WHERE doc_id % {batch_mod} = 0),
+corpus_fp AS (SELECT DISTINCT md5(text) AS fingerprint FROM {table}
+              WHERE doc_id % {batch_mod} <> 0),
+first AS (SELECT fingerprint, min(doc_id) AS first_id FROM batch GROUP BY 1)
+SELECT b.doc_id, b.fingerprint,
+       (c.fingerprint IS NOT NULL) AS seen_in_corpus,
+       (b.doc_id = f.first_id) AS first_in_batch,
+       (c.fingerprint IS NULL AND b.doc_id = f.first_id) AS keep
+FROM batch b
+JOIN first f USING (fingerprint)
+LEFT JOIN corpus_fp c USING (fingerprint)
+"""

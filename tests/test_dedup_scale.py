@@ -108,3 +108,33 @@ def test_exact_dedup_still_covers_short_docs(spark):
     # 3 distinct short texts, each duplicated ~333x
     assert len(rows) == 3
     assert sum(rows.values()) == 1000
+
+
+def test_dedup_new_batch_semantics(spark):
+    from metadata_quality_stack_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "known text"), (101, "other text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "known text"),   # dup of corpus -> drop
+            (2, "fresh text"),   # new -> keep
+            (3, "fresh text"),   # within-batch dup of 2 -> drop
+            (4, "also new"),     # new -> keep
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup.dedup_new_batch(batch, corpus).collect()}
+    assert out[1]["seen_in_corpus"] and not out[1]["keep"]
+    assert out[2]["keep"] and out[2]["first_in_batch"]
+    assert not out[3]["keep"] and not out[3]["first_in_batch"]
+    assert out[4]["keep"]
+    # corpus text never moves: only fingerprints are joined
+    plan = (
+        dedup.dedup_new_batch(batch, corpus)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
