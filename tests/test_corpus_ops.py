@@ -177,3 +177,36 @@ def test_pack_chunks_offsets_and_bins(spark):
     assert out[(0, 1)] == (0, 4, 0)  # starts at 4, still window 0
     assert out[(8, 0)] == (0, 7, 1)  # starts at 7 -> window 1
     assert out[(1, 0)] == (1, 0, 0)  # own shard stream restarts at 0
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """One Spark job over a battery of boundary/unicode texts, checked
+    against a direct Python re-statement of the window semantics
+    (1-based substring, step = chunk - overlap, last chunk short)."""
+    from metadata_quality_stack_spark.operators import sampling
+
+    chunk, ov = 7, 3
+    texts = [
+        "a" * 7,            # exactly one window
+        "b" * 8,            # one full + one short
+        "c" * 4,            # single short window
+        "",                 # no chunks
+        "déjà vu — ünïcode £10 ☃ snow",  # multibyte chars counted as chars
+        "x" * (7 + 4),      # second window exactly full
+        " \t\n ",           # whitespace-only still chunks (chars exist)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in sampling.chunk_documents(docs, chunk, ov).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_text"])
+        )
+    step = chunk - ov
+    for i, t in enumerate(texts):
+        expect = [
+            (idx, 1 + idx * step, t[idx * step : idx * step + chunk])
+            for idx in range((len(t) + step - 1) // step if t else 0)
+        ]
+        assert sorted(got.get(i, [])) == expect, f"text #{i}"
