@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_chunks"] = lambda s, d: sampling.pack_chunks(
         sampling.chunk_documents(_t(s, d, "documents"))
     )
+    q["rebalance_corpus"] = lambda s, d: sampling.rebalance_corpus(
+        _t(s, d, "documents")
+    )
     q["score_quantiles_by_source"] = lambda s, d: (
         _scored(s, d)
         .groupBy("source")
@@ -1139,6 +1142,7 @@ FROM scored s CROSS JOIN t GROUP BY 1
     o["chunk_documents"] = sampling.chunk_documents_sql()
     o["pack_chunks"] = sampling.pack_chunks_sql()
     o["dedup_new_batch"] = dedup.dedup_new_batch_sql()
+    o["rebalance_corpus"] = sampling.rebalance_corpus_sql()
     o["lang_mix_weights"] = """
 WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
 tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs FROM per)

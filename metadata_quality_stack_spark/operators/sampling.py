@@ -208,3 +208,57 @@ SELECT shard, doc_id, chunk_idx, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(start_offset // {context_chars} AS BIGINT) AS pack_bin
 FROM off
 """
+
+
+def rebalance_corpus(docs: DataFrame) -> DataFrame:
+    """Materialize the :func:`lang_mix_weights` table into an actual
+    resampled corpus: every doc gets floor(weight) deterministic copies
+    plus one more iff its md5 bucket falls under the fractional part —
+    so upsampled languages repeat (integer + stochastic-but-stable
+    fraction) and downsampled ones thin, with NO rand(): membership is
+    content-derived and reproducible across runs/engines.
+
+    Scale shape: the 5-row weight table broadcast-joins onto the scan
+    (map-only), and the copy fan-out is explode(sequence(1, n)) in the
+    same stage — the only shuffles are inside the tiny weight-table
+    aggregation itself. Output: (doc_id, lang, copy_idx)."""
+    w = lang_mix_weights(docs).select("lang", "weight")
+    base = F.floor("weight").cast("long")
+    frac_pct = F.floor((F.col("weight") - F.floor("weight")) * 100).cast(
+        "long"
+    )
+    extra = (sample_bucket(F.col("doc_id")) < frac_pct).cast("long")
+    n_copies = (base + extra).alias("n_copies")
+    return (
+        docs.join(F.broadcast(w), "lang")
+        .select("doc_id", "lang", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
+def rebalance_corpus_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`rebalance_corpus` (same rounded weights,
+    same md5 bucket)."""
+    return f"""
+WITH per AS (SELECT lang, count(*) AS n_docs FROM {table} GROUP BY lang),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs FROM per),
+w AS (SELECT lang, round((total / n_langs) / n_docs, 6) AS weight FROM per, tot),
+c AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(w.weight) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                     % {SAMPLE_BUCKETS}
+                     < CAST(floor((w.weight - floor(w.weight)) * 100) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM {table} d JOIN w USING (lang)
+)
+SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy_idx
+FROM c WHERE n_copies >= 1
+"""

@@ -210,3 +210,23 @@ def test_chunk_documents_matches_python_reference(spark):
             for idx in range((len(t) + step - 1) // step if t else 0)
         ]
         assert sorted(got.get(i, [])) == expect, f"text #{i}"
+
+
+def test_rebalance_corpus_moves_mix_toward_uniform(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "es") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = sampling.rebalance_corpus(docs)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en weight = 50/90 ~ 0.5556 -> ~50 kept; es weight = 5.0 -> exactly 50
+    assert counts["es"] == 50
+    assert 40 <= counts["en"] <= 65  # md5-bucket fraction, deterministic
+    # determinism: same input -> identical multiset
+    again = {r["lang"]: r["n"] for r in sampling.rebalance_corpus(docs).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+    # integer upsampling emits distinct copy indices
+    es_copies = out.filter(F.col("lang") == "es").groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    assert all(r["c"] == 5 for r in es_copies)
