@@ -103,6 +103,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         analytics.dimension_correlation_matrix(_scored(s, d))
     )
     q["keep_drop_extremes"] = lambda s, d: analytics.union_keep_drop_extremes(_scored(s, d))
+    # drop-reason histogram — the north star's per-partition metric, gated
+    # corpus-wide (explode the production drop_reasons column; a reason
+    # appears iff its rule pct < 0.5, rules.drop_reasons)
+    q["drop_reason_histogram"] = lambda s, d: (
+        _scored(s, d)
+        .select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
     q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
@@ -1096,6 +1105,17 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+    reason_counts = " UNION ALL ".join(
+        f"SELECT '{r['id']}' AS reason, "
+        f"CAST(sum(CASE WHEN pct_{r['id']} < 0.5 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_docs FROM pct"
+        for r in config.RULES_BY_PROFILE["webtext_native"]
+    )
+    o["drop_reason_histogram"] = (
+        f"{sqlgen.pct_with_clause()} "
+        f"SELECT reason, n_docs FROM ({reason_counts}) WHERE n_docs > 0"
+    )
 
     # -- training-data pipeline additions (round 2)
     o["term_stats"] = textops.term_stats_sql()
