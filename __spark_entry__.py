@@ -96,6 +96,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _scored_nti(s, d)
     )
     q["dimension_stats"] = lambda s, d: analytics.dimension_stats(_scored(s, d))
+
+    # cross-profile drift: the snapshot-diff readout an operator reads
+    # after changing rule profiles/weights — two map-only scoring plans,
+    # one narrow join on doc_id (scores only, never text), one global agg
+    def profile_score_drift(s: SparkSession, d: str) -> DataFrame:
+        a = _scored(s, d).select(
+            "doc_id",
+            F.col("total_score").alias("score_a"),
+            F.col("rating").alias("rating_a"),
+            F.col("keep").alias("keep_a"),
+        )
+        b = _scored_nti(s, d).select(
+            "doc_id",
+            F.col("total_score").alias("score_b"),
+            F.col("rating").alias("rating_b"),
+            F.col("keep").alias("keep_b"),
+        )
+        return a.join(b, "doc_id").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("score_a") - F.col("score_b")), 4).alias(
+                "avg_score_delta"
+            ),
+            F.sum(
+                (F.col("rating_a") != F.col("rating_b")).cast("long")
+            ).alias("n_rating_changed"),
+            F.sum(
+                (F.col("keep_a") != F.col("keep_b")).cast("long")
+            ).alias("n_keep_changed"),
+        )
+
+    q["profile_score_drift"] = profile_score_drift
     q["corpus_summary"] = lambda s, d: analytics.corpus_summary(_scored(s, d))
     q["top_sources"] = lambda s, d: analytics.top_sources(_scored(s, d))
     q["dimension_correlation"] = lambda s, d: analytics.dimension_correlation(_scored(s, d))
@@ -1104,6 +1135,17 @@ SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_totalpri
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+    o["profile_score_drift"] = f"""
+WITH a AS ({scored}), b AS ({scored_nti})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(a.total_score - b.total_score), 4) AS avg_score_delta,
+       CAST(sum(CASE WHEN a.rating <> b.rating THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rating_changed,
+       CAST(sum(CASE WHEN a.keep <> b.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep_changed
+FROM a JOIN b USING (doc_id)
 """
 
     reason_counts = " UNION ALL ".join(
