@@ -136,13 +136,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["keep_drop_extremes"] = lambda s, d: analytics.union_keep_drop_extremes(_scored(s, d))
     # drop-reason histogram — the north star's per-partition metric, gated
     # corpus-wide (explode the production drop_reasons column; a reason
-    # appears iff its rule pct < 0.5, rules.drop_reasons)
+    # appears iff its rule pct < 0.5, rules.drop_reasons). Each reason
+    # carries its severity: 'violation' = hard-fail rule (forces drop),
+    # 'warning' = soft rule (points only) — the sh:severity partition the
+    # reference client renders (SHACLValidationService.ts:661-675).
     q["drop_reason_histogram"] = lambda s, d: (
         _scored(s, d)
         .select(F.explode("drop_reasons").alias("reason"))
         .groupBy("reason")
         .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "severity",
+            F.when(
+                F.col("reason").isin(config.HARD_RULES), F.lit("violation")
+            ).otherwise(F.lit("warning")),
+        )
     )
+
+    # reports-by-rating — the reference's equality-predicate read of the
+    # report store (GET /reports/by-rating/{rating}, src/api/main.py:237-254).
+    # filter_scored keeps the rating predicate behind the observe barrier
+    # (a bare .filter would re-inline the scoring tree at the scan).
+    def reports_by_rating(s: SparkSession, d: str, rating: str = "Good") -> DataFrame:
+        from metadata_quality_stack_spark.operators.rules import filter_scored
+
+        scored = analytics.scored_documents(_t(s, d, "documents"))
+        return filter_scored(scored, F.col("rating") == rating).select(
+            "doc_id", "source", *config.DIMENSIONS, "total_score", "rating", "keep"
+        )
+
+    q["reports_by_rating"] = reports_by_rating
 
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
     q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
@@ -1151,12 +1174,18 @@ FROM a JOIN b USING (doc_id)
     reason_counts = " UNION ALL ".join(
         f"SELECT '{r['id']}' AS reason, "
         f"CAST(sum(CASE WHEN pct_{r['id']} < 0.5 THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS n_docs FROM pct"
+        f" AS n_docs, '{config.severity_for(r['id'])}' AS severity FROM pct"
         for r in config.RULES_BY_PROFILE["webtext_native"]
     )
     o["drop_reason_histogram"] = (
         f"{sqlgen.pct_with_clause()} "
-        f"SELECT reason, n_docs FROM ({reason_counts}) WHERE n_docs > 0"
+        f"SELECT reason, n_docs, severity FROM ({reason_counts}) WHERE n_docs > 0"
+    )
+
+    o["reports_by_rating"] = (
+        f"WITH scored AS ({scored_src}) SELECT doc_id, source, "
+        f"{', '.join(dims)}, total_score, rating, keep "
+        "FROM scored WHERE rating = 'Good'"
     )
 
     # -- training-data pipeline additions (round 2)

@@ -145,6 +145,39 @@ RATING_THRESHOLDS = RATING_THRESHOLDS_BY_PROFILE["webtext"]
 
 RATINGS = ["Excellent", "Good", "Sufficient", "Bad"]
 
+# Per-metric human-readable labels, EN + ES — the reference ships a
+# bilingual label per metric id (src/api/validators.py:968-969 emits
+# label_en/label_es from the label tables in src/api/config.py) and the
+# client renders reports from them. One table for all profiles: labels
+# are a property of the metric id, not of the profile selection.
+RULE_LABELS: dict[str, tuple[str, str]] = {
+    "word_count": ("Word count within range", "Numero de palabras dentro del rango"),
+    "mean_word_length": ("Mean word length plausible", "Longitud media de palabra plausible"),
+    "alpha_ratio": ("Alphabetic character ratio", "Proporcion de caracteres alfabeticos"),
+    "ascii_ratio": ("ASCII character ratio", "Proporcion de caracteres ASCII"),
+    "line_uniqueness": ("Line uniqueness", "Unicidad de lineas"),
+    "terminal_punct": ("Lines end in punctuation", "Lineas terminadas en puntuacion"),
+    "ellipsis_free": ("Lines free of ellipsis", "Lineas sin puntos suspensivos"),
+    "boilerplate_free": ("Free of boilerplate phrases", "Sin frases de plantilla"),
+    "langid_match": ("Language matches declared", "Idioma coincide con el declarado"),
+    "langid_confidence": ("Language identification confidence", "Confianza de identificacion de idioma"),
+    "stopword_density": ("Stopword density sufficient", "Densidad de palabras vacias suficiente"),
+    "stopword_distinct": ("Distinct stopwords present", "Palabras vacias distintas presentes"),
+    "symbol_ratio": ("Symbol-to-word ratio bounded", "Proporcion de simbolos por palabra acotada"),
+    "bullet_free": ("Lines free of bullets", "Lineas sin vinetas"),
+    "perplexity_ok": ("Perplexity below threshold", "Perplejidad bajo el umbral"),
+    "word_diversity": ("Word diversity", "Diversidad de palabras"),
+    "digit_ratio": ("Digit ratio bounded", "Proporcion de digitos acotada"),
+    "pii_email_free": ("Free of email addresses", "Sin direcciones de correo"),
+    "pii_phone_free": ("Free of phone numbers", "Sin numeros de telefono"),
+    "whitespace_ratio": ("Whitespace ratio bounded", "Proporcion de espacios acotada"),
+    "pii_ip_free": ("Free of IP addresses", "Sin direcciones IP"),
+    "chars_consistent": ("Character count consistent", "Recuento de caracteres consistente"),
+    "lang_present": ("Language declared", "Idioma declarado"),
+    "source_present": ("Source declared", "Fuente declarada"),
+    "avg_line_len": ("Average line length bounded", "Longitud media de linea acotada"),
+}
+
 # Gopher/C4-style hard filters: a failing hard rule (percentage < 0.5)
 # forces drop regardless of the weighted rollup. The rollup still decides
 # rating; keep = rating != 'Bad' AND no hard-fail.
@@ -167,6 +200,21 @@ RULES_BY_PROFILE = {
 }
 
 DEFAULT_PROFILE = "webtext"
+
+
+def severity_for(rule_id: str) -> str:
+    """Per-rule severity, the analog of the reference's ``sh:severity``
+    census (docs/shacl/dcat-ap-es/1.0.0/*.ttl: 291 sh:Violation / 53
+    sh:Warning; the client partitions reports by it,
+    react-app/src/services/SHACLValidationService.ts:661-675). A hard
+    rule failing forces drop -> 'violation'; soft rules only cost
+    points -> 'warning'."""
+    return "violation" if rule_id in HARD_RULES else "warning"
+
+
+def labels_for(rule_id: str) -> tuple[str, str]:
+    """(label_en, label_es) for a rule id (validators.py:968-969)."""
+    return RULE_LABELS[rule_id]
 
 
 def base_profile(profile: str) -> str:

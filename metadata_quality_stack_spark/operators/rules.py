@@ -304,9 +304,12 @@ def metric_report(
     points/weight per metric), long-format: one row per (doc, rule).
 
     This is the "why was this document dropped" debugging surface: every
-    rule's percentage and earned points, not just the dimension rollup.
-    Map-only (scoring stages + explode of a literal-keyed struct array);
-    output rows = n_docs * n_rules."""
+    rule's percentage and earned points, not just the dimension rollup —
+    plus the reading-UX metadata the reference report carries per metric:
+    bilingual labels (validators.py:968-969) and severity (the
+    sh:severity census; violation = hard-fail rule, warning = points
+    only). Map-only (scoring stages + explode of a literal-keyed struct
+    array); output rows = n_docs * n_rules."""
     rules = config.RULES_BY_PROFILE[profile]
     with_pcts = scoring_stages(df, text_col, meta_cols or {}, profile)
     entries = F.array(
@@ -319,12 +322,16 @@ def metric_report(
                 F.round(
                     F.col(f"pct_{r['id']}") * F.lit(float(r["weight"])), 4
                 ).alias("points"),
+                F.lit(config.labels_for(r["id"])[0]).alias("label_en"),
+                F.lit(config.labels_for(r["id"])[1]).alias("label_es"),
+                F.lit(config.severity_for(r["id"])).alias("severity"),
             )
             for r in rules
         ]
     )
     return with_pcts.select(F.col(id_col), F.explode(entries).alias("m")).select(
-        id_col, "m.metric", "m.dimension", "m.weight", "m.pct", "m.points"
+        id_col, "m.metric", "m.dimension", "m.weight", "m.pct", "m.points",
+        "m.label_en", "m.label_es", "m.severity",
     )
 
 

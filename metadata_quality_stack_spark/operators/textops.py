@@ -219,7 +219,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 # the rendered bytes agree across engines)
 DQV_METRIC_TEMPLATE = (
     '{"metric": "%s", "dimension": "%s", "weight": %d, '
-    '"percentage": %.6f, "points": %.4f}'
+    '"percentage": %.6f, "points": %.4f, '
+    '"label_en": "%s", "label_es": "%s", "severity": "%s"}'
 )
 
 
@@ -247,6 +248,9 @@ def report_dqv(
             F.lit(int(r["weight"])).cast("int"),
             F.round(F.col(f"pct_{r['id']}"), 6),
             F.round(F.col(f"pct_{r['id']}") * F.lit(float(r["weight"])), 4),
+            F.lit(config.labels_for(r["id"])[0]),
+            F.lit(config.labels_for(r["id"])[1]),
+            F.lit(config.severity_for(r["id"])),
         )
         for r in rules
     ]

@@ -196,16 +196,21 @@ def metric_report_sql(
     id_col: str = "doc_id",
     profile: str = "webtext_native",
 ) -> str:
-    """Long-format per-metric breakdown (rules.metric_report oracle)."""
+    """Long-format per-metric breakdown (rules.metric_report oracle),
+    including the per-metric label_en/label_es/severity metadata."""
     rules = config.RULES_BY_PROFILE[profile]
-    selects = [
-        f"SELECT {id_col}, '{r['id']}' AS metric, "
-        f"'{r['dimension']}' AS dimension, "
-        f"CAST({int(r['weight'])} AS INTEGER) AS weight, "
-        f"round(pct_{r['id']}, 6) AS pct, "
-        f"round(pct_{r['id']} * {float(r['weight'])!r}, 4) AS points FROM pct"
-        for r in rules
-    ]
+    selects = []
+    for r in rules:
+        en, es = config.labels_for(r["id"])
+        selects.append(
+            f"SELECT {id_col}, '{r['id']}' AS metric, "
+            f"'{r['dimension']}' AS dimension, "
+            f"CAST({int(r['weight'])} AS INTEGER) AS weight, "
+            f"round(pct_{r['id']}, 6) AS pct, "
+            f"round(pct_{r['id']} * {float(r['weight'])!r}, 4) AS points, "
+            f"'{en}' AS label_en, '{es}' AS label_es, "
+            f"'{config.severity_for(r['id'])}' AS severity FROM pct"
+        )
     return pct_with_clause(table, id_col) + "\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -229,12 +234,15 @@ def dqv_report_sql(
     hard_cond = " AND ".join(
         f"pct_{rid} >= 0.5" for rid in config.HARD_RULES if rid in profile_ids
     ) or "TRUE"
-    m_parts = [
-        f"printf('{tmpl}', '{r['id']}', '{r['dimension']}', "
-        f"CAST({int(r['weight'])} AS INTEGER), round(pct_{r['id']}, 6), "
-        f"round(pct_{r['id']} * {float(r['weight'])!r}, 4))"
-        for r in rules
-    ]
+    m_parts = []
+    for r in rules:
+        en, es = config.labels_for(r["id"])
+        m_parts.append(
+            f"printf('{tmpl}', '{r['id']}', '{r['dimension']}', "
+            f"CAST({int(r['weight'])} AS INTEGER), round(pct_{r['id']}, 6), "
+            f"round(pct_{r['id']} * {float(r['weight'])!r}, 4), "
+            f"'{en}', '{es}', '{config.severity_for(r['id'])}')"
+        )
     measurements = "concat_ws(', ', " + ", ".join(m_parts) + ")"
     dims_fmt = ", ".join(f'"{d}": %d' for d in config.DIMENSIONS)
     head_fmt = (

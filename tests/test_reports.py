@@ -40,6 +40,16 @@ def test_metric_report_shape_and_hostile_rows(spark):
     assert m0["lang_present"].pct == 0.0  # null lang
     # every rule of the profile appears exactly once per doc
     assert sorted(m0) == sorted(r["id"] for r in config.RULES_BY_PROFILE["webtext_native"])
+    # i18n labels + severity metadata per metric (validators.py:968-969;
+    # sh:severity census): labels non-empty both languages, severity
+    # partitions exactly along the HARD_RULES membership
+    for r in rows:
+        assert r.label_en and r.label_es
+        assert (r.label_en, r.label_es) == config.labels_for(r.metric)
+        assert r.severity == (
+            "violation" if r.metric in config.HARD_RULES else "warning"
+        )
+    assert {r.severity for r in rows} == {"violation", "warning"}
 
 
 def test_report_dqv_is_valid_json_and_consistent(spark):
@@ -56,3 +66,5 @@ def test_report_dqv_is_valid_json_and_consistent(spark):
         for m in ms:
             assert 0.0 <= m["percentage"] <= 1.0
             assert abs(m["points"] - round(m["percentage"] * m["weight"], 4)) < 5e-4
+            assert m["label_en"] and m["label_es"]
+            assert m["severity"] in ("violation", "warning")
