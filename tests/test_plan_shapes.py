@@ -95,6 +95,44 @@ def test_dimension_stats_single_scan(spark):
         assert "Union" not in plan, fn.__name__
 
 
+def test_vocabulary_compliance_is_map_only(spark):
+    """The J1 array-valued membership probe is a per-row array reduction:
+    NO Exchange anywhere (the round-2 explode_outer + groupBy(doc_id)
+    formulation shuffled |values| rows per doc — VERDICT r2 #3)."""
+    from metadata_quality_stack_spark.operators import vocab
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = vocab.vocabulary_compliance(
+        docs.select(
+            "doc_id",
+            F.array(F.col("source"), F.lit("literal"), F.lit(None)).alias("vals"),
+        ),
+        "vals",
+        ["https://src.example/src1"],
+    )
+    plan = plan_str(df, "simple")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_curation_funnel_single_scan(spark):
+    """The funnel must score ONCE: one scan of documents, stage flags as
+    in-plan conditionals — not one union branch per stage re-running the
+    pipeline (VERDICT r2 #2: five scans for five numbers)."""
+    from metadata_quality_stack_spark.plans.curate import curation_accounting
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = curation_accounting(
+        docs,
+        meta_cols={"lang": "lang", "source": "source", "n_chars": "n_chars"},
+        sample_pct=50,
+        per_source_cap=10,
+    )
+    plan = plan_str(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+
 def test_dim_join_broadcasts(spark):
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
