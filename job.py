@@ -44,7 +44,6 @@ def main() -> None:
     from metadata_quality_stack_spark.plans.pipeline import (
         partition_metrics,
         quality_pipeline,
-        salted_repartition,
     )
     from metadata_quality_stack_spark.sources.sink import run_incremental
 
@@ -53,17 +52,18 @@ def main() -> None:
     if args.lang_filter:
         # predicate pushes down to the scan (parquet min/max + dict filters)
         pages = pages.filter(F.col("lang") == args.lang_filter)
-    if "domain" not in pages.columns:
-        pages = pages.withColumn(
-            "domain", F.regexp_extract("url", r"^(?:https?://)?([^/]+)", 1)
-        )
-    n_part = spark.sparkContext.defaultParallelism * 2
-    pages = salted_repartition(pages, n_part, "domain", "url", n_salts=args.salts)
 
+    # Skew + layout are handled by the sink's single (bucket, salt)
+    # exchange: the salt is url-hash-derived, so one hot domain spreads
+    # over --salts tasks (the salted-repartition role), and each
+    # bucket=<b>/ output dir receives files from at most --salts tasks
+    # (the small-files bound). One shuffle does both jobs; the earlier
+    # standalone (domain, salt) repartition left the write layout
+    # unbounded at O(tasks x buckets) files.
     def transform(bucket_df):
         id_cols = ("url", "warc_ts") if "warc_ts" in bucket_df.columns else ("url",)
         out = quality_pipeline(
-            bucket_df.drop("domain"),
+            bucket_df,
             id_cols=id_cols,
             lang_col="lang" if "lang" in bucket_df.columns else None,
             profile=args.profile,
@@ -75,7 +75,7 @@ def main() -> None:
 
     stats = run_incremental(
         spark, pages, args.output, transform, key_col="url",
-        n_buckets=args.buckets,
+        n_buckets=args.buckets, n_salts=args.salts,
         partition_by="day" if args.partition_by_day else None,
     )
 

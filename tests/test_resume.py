@@ -99,6 +99,42 @@ def test_rerun_skips_completed(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_bounded_files_per_bucket(spark, tmp_path):
+    """Small-files bound (VERDICT r2 #4): the sink's (bucket, salt)
+    repartition means each bucket=<b>/ dir receives parquet files from at
+    most n_salts tasks — NOT one file per write task per bucket. With 32
+    shuffle partitions and 8 buckets the unbounded layout would emit up
+    to 32 files per dir; the bound is n_salts=4."""
+    import os
+
+    docs = pages_spark_df(spark, n_rows=400, seed=29)
+    out = str(tmp_path / "out")
+    n_salts = 4
+    stats = run_incremental(
+        spark, docs, out, _transform, n_buckets=8, n_salts=n_salts
+    )
+    assert stats["rows"] == 400
+    for d in os.listdir(out):
+        if not d.startswith("bucket="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= n_salts, (d, files)
+    # resume after trimming the manifest still lands exact rows
+    m = SnapshotManifest(out)
+    for b in (0, 1):
+        del m.entries[str(b)]
+    m.commit(2, m.entries["2"])
+    stats = run_incremental(
+        spark, docs, out, _transform, n_buckets=8, n_salts=n_salts
+    )
+    assert stats["rows"] == 400
+    assert read_results(spark, out).count() == 400
+
+
 def test_day_partitioned_sink_prunes(spark, tmp_path):
     """partition_by layers day=... dirs inside each bucket; a day filter
     on the reader hits partition pruning (PartitionFilters in the scan)."""
