@@ -409,6 +409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings")
     )
     q["ivf_topk"] = lambda s, d: similarity.ivf_topk(_t(s, d, "embeddings"))
+    # trained-IVF: 3 Lloyd rounds (one job each) then the same probe —
+    # the oracle replays the identical training as chained SQL CTEs
+    q["ivf_topk_trained"] = lambda s, d: similarity.ivf_topk_trained(
+        _t(s, d, "embeddings")
+    )
     q["ivf_cell_histogram"] = lambda s, d: (
         similarity.ivf_assign(_t(s, d, "embeddings"))
         .groupBy("cell_id")
@@ -1096,6 +1101,7 @@ FROM assigned a JOIN probe USING (cell_id), q
 WHERE a.vec_id <> 0
 ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
 """
+    o["ivf_topk_trained"] = similarity.ivf_trained_sql()
     o["ann_topk"] = f"""
 WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),
 q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM wb WHERE vec_id = 0)

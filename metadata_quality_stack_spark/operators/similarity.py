@@ -300,6 +300,59 @@ def ivf_assign_trained(
     )
 
 
+IVF_TRAIN_ITER = 3
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_cells: int = IVF_K,
+    n_iter: int = IVF_TRAIN_ITER,
+) -> DataFrame:
+    """IVF ANN against Lloyd-TRAINED centroids — the production index
+    build (ivf_train) plus the same probe plan as ivf_topk. Training runs
+    ``n_iter`` one-job Lloyd rounds (map-only argmax + one groupBy of
+    k×dim partial means); the resulting centroids ride back into the
+    query as literals, exactly like a broadcast. Everything is
+    deterministic (seeded init = first k vec_ids, components rounded to
+    6dp between rounds) so the DuckDB oracle can replay the identical
+    training in SQL (ivf_trained_sql)."""
+    cents = ivf_train(embeddings, n_cells, n_iter)
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(int(cid), [float(v) for v in vec]) for cid, vec in cents],
+        "cell_id long, c_emb array<double>",
+    )
+    assigned = ivf_assign_trained(embeddings, cents)
+    q_emb = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe_cells = (
+        cents_df.crossJoin(F.broadcast(q_emb))
+        .select(
+            "cell_id",
+            F.round(cosine(F.col("c_emb"), F.col("q_emb")), 6).alias("q_sim"),
+        )
+        .orderBy(F.desc("q_sim"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell_id")
+        .crossJoin(F.broadcast(q_emb))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -368,6 +421,68 @@ def lsh_bucket_sql(emb: str, planes: list[list[float]] | None = None) -> str:
         for p in planes
     ]
     return " || ".join(bits)
+
+
+def ivf_trained_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_cells: int = IVF_K,
+    n_iter: int = IVF_TRAIN_ITER,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror of :func:`ivf_topk_trained`: the FULL Lloyd training
+    replayed as chained CTEs (cents0 = seed, assign_i = argmax vs
+    cents_{i-1}, cents_i = per-cell component means rounded to 6dp),
+    then the same nprobe/top-k probe. Both engines round centroid
+    components and similarities to 6 decimals between rounds, so
+    cross-engine double-summation-order noise (~1e-15) cannot propagate
+    into different assignments."""
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cell_id, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id < {n_cells})"
+    ]
+    cos_ec = cosine_sql("e.embedding", "c.c_emb", dim)
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"""assign{it} AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({cos_ec}, 6) DESC, c.cell_id ASC) AS rn
+    FROM embeddings e, cents{it - 1} c) WHERE rn = 1)"""
+        )
+        comps = ", ".join(
+            f"round(avg(CAST(e.embedding[{i + 1}] AS DOUBLE)), 6)"
+            for i in range(dim)
+        )
+        parts.append(
+            f"""cents{it} AS (
+  SELECT a.cell_id, [{comps}] AS c_emb
+  FROM embeddings e JOIN assign{it} a USING (vec_id)
+  GROUP BY a.cell_id)"""
+        )
+    final = f"cents{n_iter}"
+    cos_cq = cosine_sql("c_emb", "q_emb", dim)
+    cos_aq = cosine_sql("e.embedding", "q.q_emb", dim)
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes},
+final_assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({cos_ec}, 6) DESC, c.cell_id ASC) AS rn
+    FROM embeddings e, {final} c) WHERE rn = 1),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (SELECT cell_id FROM {final}, q
+          ORDER BY round({cos_cq}, 6) DESC, cell_id ASC LIMIT {nprobe})
+SELECT e.vec_id, e.label, round({cos_aq}, 6) AS cos_sim
+FROM embeddings e
+JOIN final_assign fa ON e.vec_id = fa.vec_id
+JOIN probe ON fa.cell_id = probe.cell_id, q
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+"""
 
 
 def semantic_dedup(

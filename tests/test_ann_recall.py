@@ -40,3 +40,79 @@ def test_more_probes_more_recall(emb):
     lo = _recall(emb, lambda e, q, k: similarity.ivf_topk(e, q, k, nprobe=1))
     hi = _recall(emb, lambda e, q, k: similarity.ivf_topk(e, q, k, nprobe=4))
     assert hi >= lo  # the recall/cost dial moves the right way
+
+
+def test_trained_ivf_recall_and_balance(emb):
+    """Lloyd-trained IVF, measured on the sf0.01 embeddings (10 queries,
+    recall@10, nprobe sweep — the full table lives in BENCH/BASELINE.md):
+
+        nprobe      1     2     4
+        seeded    0.54  0.63  0.72
+        trained   0.50  0.57  0.68
+
+    On uniform random embeddings training does NOT buy recall at fixed
+    nprobe (there is no cluster structure to discover) — what it buys is
+    BALANCE: max cell 38 vs 42, cell-size std 4.3 vs 5.2. At 100 TB the
+    max cell bounds the hottest partition of every probe, so that is the
+    production reason to train. Asserted: trained recall stays within
+    noise of seeded (>= 0.4 at nprobe=2) and the max trained cell is no
+    larger than the max seeded cell."""
+    from pyspark.sql import functions as F
+
+    cents = similarity.ivf_train(emb, similarity.IVF_K, similarity.IVF_TRAIN_ITER)
+
+    def trained(e, q, k):
+        # re-use the trained centroids across queries (the index is built
+        # once; ivf_topk_trained itself retrains per call by design)
+        spark = e.sparkSession
+        cents_df = spark.createDataFrame(
+            [(int(c), [float(v) for v in vec]) for c, vec in cents],
+            "cell_id long, c_emb array<double>",
+        )
+        assigned = similarity.ivf_assign_trained(e, cents)
+        q_emb = e.filter(F.col("vec_id") == q).select(
+            F.col("embedding").alias("q_emb")
+        )
+        probe = (
+            cents_df.crossJoin(F.broadcast(q_emb))
+            .select(
+                "cell_id",
+                F.round(
+                    similarity.cosine(F.col("c_emb"), F.col("q_emb")), 6
+                ).alias("qs"),
+            )
+            .orderBy(F.desc("qs"), F.asc("cell_id"))
+            .limit(similarity.IVF_NPROBE)
+            .select("cell_id")
+        )
+        return (
+            assigned.join(F.broadcast(probe), "cell_id")
+            .crossJoin(F.broadcast(q_emb))
+            .filter(F.col("vec_id") != q)
+            .select(
+                "vec_id",
+                F.round(
+                    similarity.cosine(F.col("embedding"), F.col("q_emb")), 6
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k)
+        )
+
+    assert _recall(emb, trained) >= 0.4  # measured 0.57 at nprobe=2
+
+    seed_max = (
+        similarity.ivf_assign(emb, similarity.IVF_K)
+        .groupBy("cell_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    trained_max = (
+        similarity.ivf_assign_trained(emb, cents)
+        .groupBy("cell_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert trained_max <= seed_max  # measured 38 vs 42
