@@ -490,7 +490,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["suppliers_by_region"] = suppliers_by_region
-    return q
+    return _prioritize(q)
+
+
+# The driver's CORRECTNESS window covers roughly the first 50 queries()
+# entries in dict-insertion order; round 2 front-loaded already-verified
+# families and left 27 queries without a driver-side row (VERDICT r2
+# "What's wrong #1"). This prefix puts FIRST: (a) every query that has
+# never had a driver-green row, (b) queries new or modified in round 3,
+# (c) one representative of each already-double-green family. Everything
+# after the prefix keeps its original relative order (all double-green in
+# CORRECTNESS_r01/r02).
+_PRIORITY = [
+    # (a) never driver-verified (r02 window stopped at entry 50)
+    "media_stats",            # red in r01, unchecked in r02
+    "vocabulary_compliance",  # round-1-mandated gate, also rewritten map-only (r3)
+    "label_membership",
+    "source_compliance",
+    "url_status_compliance",
+    "simhash",
+    "line_dup_stats",
+    "drop_duplicated_lines",
+    "dedup_clusters",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pruned",
+    "media_decode",
+    "media_frame_sample",
+    "embedding_topk",
+    "lsh_bucket_histogram",
+    "ann_topk",
+    "ann_topk_multi",
+    "embedding_near_dup",
+    "ivf_topk",
+    "ivf_cell_histogram",
+    "semantic_dedup",
+    "decontaminate",
+    "tpch_q1",
+    "orders_by_nation",
+    "top_parts_by_revenue",
+    "suppliers_by_region",
+    "full_pipeline",          # rows-only by design (model UDFs not in SQL)
+    # (b) new or changed in round 3
+    "reports_by_rating",
+    "ivf_topk_trained",
+    "metric_report",          # + label_en/label_es/severity columns
+    "report_dqv",             # + labels/severity in measurements[]
+    "drop_reason_histogram",  # + severity column
+    "curation_funnel",        # single-pass rewrite
+    # (c) representatives of already-double-green families
+    "quality_scores",
+    "quality_scores_nti",
+    "rating_histogram",
+    "dimension_stats",
+    "dimension_correlation_matrix",
+    "corpus_summary",
+    "curated_corpus",
+    "exact_dedup",
+    "dedup_new_batch",
+    "minhash_bands",
+    "minhash_candidate_pairs",
+    "token_stats",
+    "term_stats",
+    "scrub_pii",
+    "langid_heuristic",
+    "score_history",
+    "sample_documents",
+]
+
+
+def _prioritize(q: dict) -> dict:
+    missing = [k for k in _PRIORITY if k not in q]
+    assert not missing, f"_PRIORITY names unknown queries: {missing}"
+    out = {k: q[k] for k in _PRIORITY}
+    out.update({k: v for k, v in q.items() if k not in out})
+    return out
 
 
 # --------------------------------------------------------------------------
