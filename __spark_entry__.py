@@ -167,6 +167,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reports_by_rating"] = reports_by_rating
 
+    # corpus-level scrub accounting — the north rule's "scrub counts"
+    # lineage metric as a gate query: one conditional aggregation over the
+    # count-gated scrub projection (map-side partials, single exchange)
+    def scrub_stats(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.functions.scrub import apply_scrub
+
+        scrubbed = apply_scrub(_t(s, d, "documents"))
+        return scrubbed.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("scrub_email_count").cast("long")).alias("emails_scrubbed"),
+            F.sum(F.col("scrub_ip_count").cast("long")).alias("ips_scrubbed"),
+            F.sum(F.col("scrub_phone_count").cast("long")).alias("phones_scrubbed"),
+            F.sum(F.col("scrub_count").cast("long")).alias("total_scrubbed"),
+            F.sum((F.col("scrub_count") > 0).cast("long")).alias("docs_affected"),
+        )
+
+    q["scrub_stats"] = scrub_stats
+
+    # per-source keep rate + mean score — the per-partition lineage
+    # readout an operator watches during a 100 TB run (which shards are
+    # rotting). avg over {0,1} and int scores is order-independent in
+    # IEEE doubles, so the cross-engine hash is exact.
+    q["keep_rate_by_source"] = lambda s, d: (
+        _scored(s, d)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+            F.round(F.avg(F.col("total_score").cast("double")), 4).alias("avg_score"),
+        )
+    )
+
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
     q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
     q["latest_event_per_user"] = lambda s, d: analytics.latest_event_per_user(
@@ -537,6 +570,8 @@ _PRIORITY = [
     "report_dqv",             # + labels/severity in measurements[]
     "drop_reason_histogram",  # + severity column
     "curation_funnel",        # single-pass rewrite
+    "scrub_stats",            # new r3: corpus scrub accounting
+    "keep_rate_by_source",    # new r3: per-source lineage readout
     # (c) representatives of already-double-green families
     "quality_scores",
     "quality_scores_nti",
@@ -553,8 +588,6 @@ _PRIORITY = [
     "term_stats",
     "scrub_pii",
     "langid_heuristic",
-    "score_history",
-    "sample_documents",
 ]
 
 
@@ -1265,6 +1298,33 @@ FROM a JOIN b USING (doc_id)
         f"WITH scored AS ({scored_src}) SELECT doc_id, source, "
         f"{', '.join(dims)}, total_score, rating, keep "
         "FROM scored WHERE rating = 'Good'"
+    )
+
+    from metadata_quality_stack_spark.functions.scrub import scrub_sql_exprs as _sse
+
+    _sc = _sse("text")
+    o["scrub_stats"] = f"""
+WITH per AS (
+  SELECT {_sc['scrub_email_count']} AS e, {_sc['scrub_ip_count']} AS i,
+         {_sc['scrub_phone_count']} AS p, {_sc['scrub_count']} AS t
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+  CAST(sum(e) AS BIGINT) AS emails_scrubbed,
+  CAST(sum(i) AS BIGINT) AS ips_scrubbed,
+  CAST(sum(p) AS BIGINT) AS phones_scrubbed,
+  CAST(sum(t) AS BIGINT) AS total_scrubbed,
+  CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected
+FROM per
+"""
+
+    o["keep_rate_by_source"] = (
+        f"WITH scored AS ({scored_src}) "
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, "
+        "round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate, "
+        "round(avg(CAST(total_score AS DOUBLE)), 4) AS avg_score "
+        "FROM scored GROUP BY source"
     )
 
     # -- training-data pipeline additions (round 2)

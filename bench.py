@@ -81,14 +81,23 @@ def main() -> None:
     def bench(name, df_fn, runs: int = 3):
         # best-of-N: this sandbox sees host CPU-steal storms (neighbors can
         # steal 100s of CPU-seconds inside one run); min wall is the honest
-        # engine number, and we record the steal seen during that best run
+        # engine number, and we record the steal seen during that best run.
+        # If even the best run was polluted (steal observed during it), take
+        # up to 3 extra runs hunting for a quiet window — measured drift
+        # between quiet and stormy windows is 1.6x on the same binary.
         best, best_steal = None, 0
-        for _ in range(runs):
+        extra_budget = 3
+        n = 0
+        while n < runs or (best_steal > 20 and extra_budget > 0):
+            if n >= runs:
+                extra_budget -= 1
+            n += 1
             s0, t0 = _steal(), time.time()
             _noop(df_fn())
             dt = time.time() - t0
+            run_steal = _steal() - s0
             if best is None or dt < best:
-                best, best_steal = dt, _steal() - s0
+                best, best_steal = dt, run_steal
         timings[name] = round(best, 3)
         steal_best[name] = best_steal
 
@@ -134,6 +143,7 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
                 "pipeline_steal_jiffies": steal_best["quality_pipeline_full"],
+                "load_1m": round(os.getloadavg()[0], 1),
             }
         )
     )
