@@ -26,7 +26,22 @@ def scrub_columns(text: Column) -> dict[str, Column]:
     cur = text
     for kind in config.SCRUB_ORDER:
         pattern, token = config.PII_REPLACEMENTS[kind]
-        cnt = F.regexp_count(cur, F.lit(pattern))
+        # literal pre-gate: the email pattern cannot match without '@',
+        # phone/IP cannot match without a digit. A translate/contains scan
+        # is ~4x cheaper than the PII regex, so rows that cannot match
+        # (the overwhelming majority) skip the regex entirely. Values are
+        # identical — the DuckDB/pandas oracles need no gate.
+        if kind == "email":
+            could_match = F.contains(cur, F.lit("@"))
+        else:
+            could_match = (
+                F.length(cur) - F.length(F.translate(cur, "0123456789", ""))
+            ) > 0
+        # inverted form keeps NULL-text semantics: ~NULL is NULL, so null
+        # rows fall through to regexp_count(NULL) -> NULL, as ungated
+        cnt = F.when(~could_match, F.lit(0)).otherwise(
+            F.regexp_count(cur, F.lit(pattern))
+        )
         out[f"scrub_{kind}_count"] = cnt
         cur = F.when(cnt > 0, F.regexp_replace(cur, pattern, token)).otherwise(cur)
     out["scrubbed_text"] = cur

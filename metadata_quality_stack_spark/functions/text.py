@@ -155,7 +155,13 @@ def feature_columns(
         "n_ellipsis_lines": F.regexp_count(text, F.lit(RE_ELLIPSIS_EOL)),
         "n_bullet_lines": F.regexp_count(text, F.lit(RE_BULLET_BOL)),
         "has_boilerplate": boiler,
-        "has_email": text.rlike(config.PII_EMAIL),
-        "has_phone": text.rlike(config.PII_PHONE),
-        "has_ip": text.rlike(config.PII_IP),
+        # PII probes behind cheap literal gates: the email pattern cannot
+        # match without '@', phone/IP cannot match without a digit, so the
+        # expensive regex runs only on rows that could match — a pure
+        # short-circuit (identical values, no oracle change). The digit
+        # gate reuses the n_digit translate count already computed above.
+        "has_email": F.contains(text, F.lit("@")) & text.rlike(config.PII_EMAIL),
+        "has_phone": (chars_in_set(text, DIGIT_CHARS) > 0)
+        & text.rlike(config.PII_PHONE),
+        "has_ip": (chars_in_set(text, DIGIT_CHARS) > 0) & text.rlike(config.PII_IP),
     }
