@@ -88,44 +88,49 @@ def lower_column(text: Column) -> dict[str, Column]:
     return {"_low_text": F.lower(text)}
 
 
+def word_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens == number of maximal
+    non-whitespace runs, counted with ONE regexp_count — no token array
+    is allocated (the raw-token array existed only to take its size;
+    the count of runs is identical, including 0 for blank and NULL for
+    NULL text)."""
+    return F.regexp_count(text, F.lit("[^ \\t\\n\\r]+"))
+
+
 def token_columns(text: Column, low_text: Column) -> dict[str, Column]:
-    """Stage-0b intermediates, materialized ONCE as real columns so the
+    """Stage-0b intermediate, materialized ONCE as a real column so the
     split work is guaranteed single-execution (a materialized column is a
     local in the generated code):
 
-    * _toks — whitespace tokens of the raw text
     * _lows — distinct tokens of the (stage-0a) lowercased text; split of
-      _low_text rather than transform(_toks, lower) because higher-order
+      _low_text rather than transform(toks, lower) because higher-order
       functions are NOT codegen-capable — one HOF kicks the whole
       projection out of whole-stage codegen into interpreted eval
       (verified via explain: the Project loses its codegen id)
+
+    The raw-token array is no longer materialized: its only consumer was
+    ``size()``, which :func:`word_count` computes array-free.
     """
     return {
-        "_toks": token_array(text),
         "_lows": F.array_distinct(token_array(low_text)),
     }
 
 
 def feature_columns(
     text: Column,
-    toks: Column | None = None,
     lows: Column | None = None,
     low_text: Column | None = None,
 ) -> dict[str, Column]:
-    """All raw per-doc features. Pass materialized ``toks``/``lows``/
-    ``low_text`` (token_columns stage) on the hot path; without them the
-    subtrees are built inline (single-query convenience).
+    """All raw per-doc features. Pass materialized ``lows``/``low_text``
+    (token_columns stage) on the hot path; without them the subtrees are
+    built inline (single-query convenience). The word count is array-free
+    (word_count — one regexp_count, no raw-token materialization).
 
     Char-class counts use translate (chars_in_set), not regex — 3 fewer
     full-text regex passes per doc; measured ~25% of per-doc CPU at 100k
     docs/run."""
-    toks = token_array(text) if toks is None else toks
-    lows = (
-        F.array_distinct(F.transform(toks, lambda x: F.lower(x)))
-        if lows is None
-        else lows
-    )
     low_text = F.lower(text) if low_text is None else low_text
+    lows = F.array_distinct(token_array(low_text)) if lows is None else lows
     raw_lines = F.split(text, "\\n", -1)
     sw = F.array(*[F.lit(s) for s in config.STOPWORDS_EN])
 
@@ -135,7 +140,7 @@ def feature_columns(
 
     n_ws = chars_in_set(text, WS_CHARS)
     return {
-        "n_words": F.size(toks),
+        "n_words": word_count(text),
         "n_chars_txt": F.length(text),
         "n_lines": F.regexp_count(text, F.lit(RE_NONEMPTY_LINE)),
         # sum of token lengths == count of non-whitespace chars

@@ -223,7 +223,8 @@ def scoring_stages(
     fn(meta) -> dict of Columns evaluated against the feats stage)."""
     carry = list(df.columns)
     meta = {k: (F.col(v) if v else None) for k, v in meta_cols.items()}
-    # stage 0a: lower once; stage 0b: tokenize raw + lowered ONCE;
+    # stage 0a: lower once; stage 0b: tokenize the lowered text ONCE
+    # (raw tokens are never materialized — word_count is array-free);
     # stage 1: all scalar features over text + the materialized arrays.
     # All three stay inside one WholeStageCodegen span (no HOFs anywhere).
     lowered = stage(df, carry, lower_column(F.col(text_col)))
@@ -234,7 +235,6 @@ def scoring_stages(
     )
     feats = feature_columns(
         F.col(text_col),
-        toks=F.col("_toks"),
         lows=F.col("_lows"),
         low_text=F.col("_low_text"),
     )
