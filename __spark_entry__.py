@@ -345,6 +345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
+    # fuzzy dedup as a selection mask: keep = min-id representative per
+    # MinHash/LSH near-dup cluster (the fuzzy twin of curate's exact
+    # min_by dedup and similarity.semantic_dedup)
+    q["fuzzy_dedup_keep"] = lambda s, d: dedup.fuzzy_dedup_keep(
+        _t(s, d, "documents")
+    )
 
     # -- flagship full pipeline (model UDFs not SQL-expressible: rows-only
     # driver check; exact parity is pinned by tests/test_pipeline_f1.py
@@ -545,6 +551,7 @@ _PRIORITY = [
     "line_dup_stats",
     "drop_duplicated_lines",
     "dedup_clusters",
+    "fuzzy_dedup_keep",       # new r3: fuzzy selection mask
     "ngram_jaccard_pairs",
     "ngram_jaccard_pruned",
     "media_decode",
@@ -587,7 +594,6 @@ _PRIORITY = [
     "token_stats",
     "term_stats",
     "scrub_pii",
-    "langid_heuristic",
 ]
 
 
@@ -954,7 +960,7 @@ FROM documents
     )
     # connected components over the candidate graph: min reachable doc_id
     # per node via a recursive CTE (the SQL twin of the Spark label loop)
-    o["dedup_clusters"] = f"""
+    clusters_sql = f"""
 {bands_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
 pairs AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
@@ -969,6 +975,10 @@ reach(doc_id, cluster) AS (
 )
 SELECT doc_id, min(cluster) AS cluster FROM reach GROUP BY doc_id
 """
+    o["dedup_clusters"] = clusters_sql
+    o["fuzzy_dedup_keep"] = (
+        f"SELECT doc_id, (cluster = doc_id) AS keep FROM ({clusters_sql})"
+    )
     o["ngram_jaccard_pairs"] = f"""
 WITH lim AS (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
 sh AS (SELECT doc_id, unnest({sh}) AS s FROM lim),

@@ -404,6 +404,20 @@ def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     return labels.select("doc_id", "cluster")
 
 
+def fuzzy_dedup_keep(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Fuzzy (MinHash/LSH) deduplication as a SELECTION MASK: every doc
+    with a keep flag, keeping exactly the min-doc_id representative of
+    each near-duplicate cluster — the fuzzy twin of the exact-dedup
+    min_by selection (plans/curate.py) and the SemDeDup keep-mask
+    (similarity.semantic_dedup). Non-duplicates are their own cluster
+    and are always kept. The mask composes with the curation pipeline
+    by a doc_id join (labels are ~16 bytes/doc; text never moves)."""
+    clusters = dedup_clusters(docs, max_iter=max_iter)
+    return clusters.select(
+        "doc_id", (F.col("cluster") == F.col("doc_id")).alias("keep")
+    )
+
+
 def dedup_new_batch(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     """Incremental dedup: a NEW batch against the EXISTING corpus's
     fingerprint index — the production mode at 100 TB (a crawl delta is

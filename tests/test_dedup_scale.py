@@ -56,6 +56,22 @@ def test_short_docs_are_singleton_clusters(spark):
     assert sorted(r.n for r in dup_clusters) == [2, 2, 2]
 
 
+def test_fuzzy_dedup_keep_one_per_cluster(spark):
+    """The fuzzy selection mask keeps exactly the min-id representative
+    per near-dup cluster and every singleton."""
+    docs = _corpus(spark)
+    mask = dedup.fuzzy_dedup_keep(docs)
+    assert mask.count() == 1006
+    # 1000 singletons + 3 representatives of the 3 dup pairs
+    assert mask.filter(F.col("keep")).count() == 1003
+    # joined against clusters: kept iff doc is its cluster's min id
+    joined = mask.join(dedup.dedup_clusters(docs), "doc_id")
+    bad = joined.filter(
+        F.col("keep") != (F.col("cluster") == F.col("doc_id"))
+    )
+    assert bad.count() == 0
+
+
 def test_frequent_shingle_pruning_bounds_join(spark):
     """300 unrelated docs all sharing one boilerplate sentence: the
     unpruned inverted-index join pairs every doc with every other through
