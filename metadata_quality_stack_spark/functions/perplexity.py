@@ -44,6 +44,24 @@ def _tokenize(text: str) -> list[str]:
     return [t for t in toks if t]
 
 
+# Long-doc fast path: only the first MAX_TOKENS tokens are ever scored, so
+# tokenizing a multi-MB document end-to-end is wasted work. Tokenize a
+# char-bounded prefix first; if it yields STRICTLY MORE than MAX_TOKENS
+# tokens, the first MAX_TOKENS came from complete (non-truncated) raw
+# tokens and are exactly what full-text tokenization would produce —
+# otherwise fall back to the full text. Values are identical by
+# construction; the bound only changes work, never output.
+_SLICE_BOUND = 65536
+
+
+def _capped_tokens(text: str) -> list[str]:
+    if len(text) > _SLICE_BOUND:
+        toks = _tokenize(text[:_SLICE_BOUND])
+        if len(toks) > MAX_TOKENS:
+            return toks[:MAX_TOKENS]
+    return _tokenize(text)[:MAX_TOKENS]
+
+
 # bigram bucket = numeric mix of the two unigram crc32 values (uint64
 # wraparound) — removes the per-pair string concat + encode + crc32 the
 # loop formulation paid; crc32 < 2^32 so the mix covers the bucket space
@@ -98,7 +116,7 @@ class PerplexityModel:
         positions are overwritten by the unigram backoff, so no pair
         masking is needed."""
         tok_lists = [
-            _tokenize(t)[:MAX_TOKENS] if isinstance(t, str) and t else []
+            _capped_tokens(t) if isinstance(t, str) and t else []
             for t in texts
         ]
         out = np.full(len(tok_lists), PPL_EMPTY, dtype=np.float64)
