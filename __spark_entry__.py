@@ -38,6 +38,8 @@ JACCARD_MAX_DOC = 200  # pairwise stage is candidate-limited (see dedup.py)
 JACCARD_MAX_DF = 10  # frequent-shingle pruning cap for the pruned variant
 # vocab.load_vocab semantics on a CSV [src0..src4]: first row swallowed
 ALLOWED_SOURCES = ["src1", "src2", "src3", "src4"]
+# terms present in the synthetic documents vocabulary (nonzero gate counts)
+GATE_TOXIC_TERMS = ["slow", "dup", "big"]
 VOCAB_URI_PREFIX = "https://src.example/"
 VOCAB_LABELS = ["rc1", "src2"]  # 'rc1' only matches by substring fallback
 
@@ -290,6 +292,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["langid_heuristic"] = lambda s, d: textops.langid_heuristic(_t(s, d, "documents"))
     q["doc_fingerprint"] = lambda s, d: textops.doc_fingerprint(_t(s, d, "documents"))
     q["scrub_pii"] = lambda s, d: textops.scrub_documents(_t(s, d, "documents"))
+
+    # toxicity word-list masking (north rule: PII/toxicity scrub). The
+    # term list is a parameter; here it is drawn from the synthetic corpus
+    # vocabulary so the gate exercises masking with nonzero counts — the
+    # production default (config.TOXIC_TERMS) is the policy list.
+    def scrub_toxicity(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.functions.scrub import apply_toxicity
+
+        return apply_toxicity(
+            _t(s, d, "documents"), terms=GATE_TOXIC_TERMS
+        ).select("doc_id", "tox_count", "detoxed_text")
+
+    q["scrub_toxicity"] = scrub_toxicity
     q["length_quality_ramp"] = lambda s, d: textops.length_quality_ramp(
         _t(s, d, "documents")
     )
@@ -578,6 +593,7 @@ _PRIORITY = [
     "drop_reason_histogram",  # + severity column
     "curation_funnel",        # single-pass rewrite
     "scrub_stats",            # new r3: corpus scrub accounting
+    "scrub_toxicity",         # new r3: toxicity word-list masking
     "keep_rate_by_source",    # new r3: per-source lineage readout
     # (c) representatives of already-double-green families
     "quality_scores",
@@ -593,7 +609,6 @@ _PRIORITY = [
     "minhash_candidate_pairs",
     "token_stats",
     "term_stats",
-    "scrub_pii",
 ]
 
 
@@ -852,6 +867,16 @@ FROM f
         f"CAST({sc['scrub_ip_count']} AS INTEGER) AS scrub_ip_count, "
         f"CAST({sc['scrub_phone_count']} AS INTEGER) AS scrub_phone_count, "
         f"CAST({sc['scrub_count']} AS INTEGER) AS scrub_count "
+        "FROM documents"
+    )
+
+    from metadata_quality_stack_spark.functions.scrub import toxicity_sql_exprs
+
+    tox = toxicity_sql_exprs(GATE_TOXIC_TERMS)
+    o["scrub_toxicity"] = (
+        "SELECT doc_id, "
+        f"CAST({tox['tox_count']} AS INTEGER) AS tox_count, "
+        f"{tox['detoxed_text']} AS detoxed_text "
         "FROM documents"
     )
 

@@ -304,3 +304,14 @@ PII_REPLACEMENTS = {
 # phone match inside it; ip before phone would let \b[0-9]{9,11}\b eat
 # dotted quads — keep email, ip, phone).
 SCRUB_ORDER = ["email", "ip", "phone"]
+
+# Toxicity masking (north rule: "regex-based PII/toxicity scrubbing").
+# Word-list driven: terms are masked as whole words, case-insensitive,
+# via ONE alternation regex (functions.scrub.toxicity_pattern). The
+# default list is a deliberately mild starter set — production deploys
+# swap in their own policy list; everything downstream (pattern build,
+# Spark expression, DuckDB/pandas oracle mirrors) is parameterized on
+# the list, so the gate can exercise the machinery with corpus-specific
+# terms. Masking runs AFTER the PII chain (on already-scrubbed text).
+TOXIC_TERMS = ["damn", "hell", "crap", "idiot", "stupid", "moron"]
+TOX_TOKEN = "<TOX>"

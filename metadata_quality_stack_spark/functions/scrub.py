@@ -61,6 +61,55 @@ def apply_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def toxicity_pattern(terms: list[str] | None = None) -> str:
+    """One case-insensitive whole-word alternation over the term list —
+    the Java/RE2/Python common subset ((?i), \\b, non-capturing group all
+    behave identically across Spark, DuckDB, and `re`)."""
+    import re as _re
+
+    terms = config.TOXIC_TERMS if terms is None else terms
+    if not terms:
+        raise ValueError("toxicity term list is empty")
+    return "(?i)\\b(?:" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+
+
+def toxicity_columns(text: Column, terms: list[str] | None = None) -> dict[str, Column]:
+    """Masked text + match count for the toxicity word list (north rule:
+    regex-based PII/toxicity scrubbing). Count-gated like the PII chain:
+    the replace pass only runs on rows that matched, so clean rows (the
+    overwhelming majority at crawl scale) pass through untouched."""
+    pattern = toxicity_pattern(terms)
+    cnt = F.regexp_count(text, F.lit(pattern))
+    detoxed = F.when(
+        cnt > 0, F.regexp_replace(text, pattern, config.TOX_TOKEN)
+    ).otherwise(text)
+    return {"tox_count": cnt, "detoxed_text": detoxed}
+
+
+def apply_toxicity(
+    df: DataFrame, text_col: str = "text", terms: list[str] | None = None
+) -> DataFrame:
+    cols = toxicity_columns(F.col(text_col), terms)
+    return df.select(
+        df["*"],
+        cols["tox_count"].alias("tox_count"),
+        cols["detoxed_text"].alias("detoxed_text"),
+    )
+
+
+def toxicity_sql_exprs(
+    terms: list[str] | None = None, text: str = "text"
+) -> dict[str, str]:
+    """DuckDB-dialect mirror of toxicity_columns (for oracle_sql)."""
+    pat_sql = toxicity_pattern(terms).replace("'", "''")
+    return {
+        "tox_count": f"len(regexp_extract_all({text}, '{pat_sql}'))",
+        "detoxed_text": (
+            f"regexp_replace({text}, '{pat_sql}', '{config.TOX_TOKEN}', 'g')"
+        ),
+    }
+
+
 def scrub_sql_exprs(text: str = "text") -> dict[str, str]:
     """DuckDB-dialect mirror of scrub_columns (for oracle_sql)."""
     out: dict[str, str] = {}

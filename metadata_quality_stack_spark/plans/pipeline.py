@@ -61,6 +61,7 @@ def quality_pipeline(
     n_chars_col: str | None = None,
     profile: str = "webtext",
     include_text: bool = True,
+    toxic_terms: list[str] | None = None,
 ) -> DataFrame:
     """Score + scrub every document. Returns one row per input row with:
     id cols, scrubbed_text (+scrub counts), dimension scores, total_score,
@@ -117,9 +118,25 @@ def quality_pipeline(
         scrub["scrub_ip_count"].alias("scrub_ip_count"),
         scrub["scrub_phone_count"].alias("scrub_phone_count"),
     ]
-    if include_text:
+    if include_text or toxic_terms:
         out_cols.append(scrub["scrubbed_text"].alias("scrubbed_text"))
-    return scored.select(*out_cols)
+    out = scored.select(*out_cols)
+    if toxic_terms:
+        # Toxicity masking (north rule: PII/toxicity scrub) runs AFTER the
+        # PII chain, on the scrubbed text. The stage() barrier keeps
+        # CollapseProject from inlining the whole scrub when-chain into the
+        # three toxicity references — scrubbed text is computed once.
+        from metadata_quality_stack_spark.functions.scrub import toxicity_columns
+        from metadata_quality_stack_spark.operators.rules import stage
+
+        base = [c for c in out.columns if c != "scrubbed_text"]
+        pre = stage(out, base, {"_scrubbed": F.col("scrubbed_text")})
+        tox = toxicity_columns(F.col("_scrubbed"), toxic_terms)
+        final = [F.col(c) for c in base] + [tox["tox_count"].alias("tox_count")]
+        if include_text:
+            final.append(tox["detoxed_text"].alias("scrubbed_text"))
+        out = pre.select(*final)
+    return out
 
 
 def partition_metrics(result: DataFrame, lang_col: str = "lang_pred") -> dict[str, DataFrame]:

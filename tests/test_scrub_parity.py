@@ -62,3 +62,96 @@ def test_python_vs_duckdb():
             exp_counts["ip"],
             exp_counts["phone"],
         ), c
+
+
+# ---------------------------------------------------------------------------
+# toxicity word-list masking (north rule: PII/toxicity scrub)
+# ---------------------------------------------------------------------------
+import re
+
+from metadata_quality_stack_spark.functions.scrub import (
+    apply_toxicity,
+    toxicity_pattern,
+    toxicity_sql_exprs,
+)
+
+TOX_TERMS = ["damn", "hell", "big"]
+
+TOX_CASES = [
+    "what the hell is this damn thing",          # two hits
+    "Hell YES and DAMN straight",                # case-insensitive
+    "hellish shellfish bighorn",                 # substrings must NOT match
+    "big, big. (big) big!",                      # punctuation boundaries
+    "a BIG <EMAIL> token",                       # masking after PII tokens
+    "no matches here",
+    "",
+]
+
+
+def _py_tox(text: str) -> tuple[int, str]:
+    pat = re.compile(toxicity_pattern(TOX_TERMS))
+    return len(pat.findall(text)), pat.sub("<TOX>", text)
+
+
+def test_toxicity_python_vs_spark(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(TOX_CASES)), "text": TOX_CASES})
+    got = (
+        apply_toxicity(spark.createDataFrame(pdf), terms=TOX_TERMS)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, c in enumerate(TOX_CASES):
+        exp_n, exp_text = _py_tox(c)
+        assert got["tox_count"][i] == exp_n, c
+        assert got["detoxed_text"][i] == exp_text, c
+
+
+def test_toxicity_python_vs_duckdb():
+    con = duckdb.connect()
+    exprs = toxicity_sql_exprs(TOX_TERMS, "t.text")
+    for c in TOX_CASES:
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT ? AS text", [c])
+        row = con.execute(
+            f"SELECT {exprs['tox_count']} AS n, "
+            f"{exprs['detoxed_text']} AS s FROM t"
+        ).fetchone()
+        exp_n, exp_text = _py_tox(c)
+        assert (row[0], row[1]) == (exp_n, exp_text), c
+
+
+def test_toxicity_null_text_propagates(spark):
+    pdf = pd.DataFrame({"doc_id": [0], "text": [None]})
+    pdf["text"] = pdf["text"].astype(object)
+    got = apply_toxicity(
+        spark.createDataFrame(pdf, schema="doc_id long, text string"),
+        terms=TOX_TERMS,
+    ).toPandas()
+    assert got["tox_count"][0] is None or pd.isna(got["tox_count"][0])
+    assert got["detoxed_text"][0] is None
+
+
+def test_pipeline_toxicity_flag(spark, pages_df=None):
+    from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+    from metadata_quality_stack_spark.sources.pages import generate_pages
+
+    pdf = generate_pages(60, seed=11).drop(columns=["row_class"])
+    df = spark.createDataFrame(pdf)
+    base = quality_pipeline(df, id_cols=("url",), lang_col="lang").toPandas()
+    terms = ["the", "damn"]
+    tox = quality_pipeline(
+        df, id_cols=("url",), lang_col="lang", toxic_terms=terms
+    ).toPandas()
+    assert "tox_count" in tox.columns
+    # scoring columns are untouched by the toxicity stage
+    b = base.sort_values("url").reset_index(drop=True)
+    t = tox.sort_values("url").reset_index(drop=True)
+    for col in ("total_score", "rating", "keep", "scrub_count"):
+        assert (b[col] == t[col]).all()
+    pat = re.compile(toxicity_pattern(terms))
+    for i in range(len(t)):
+        exp_n, exp_text = len(pat.findall(b["scrubbed_text"][i])), pat.sub(
+            "<TOX>", b["scrubbed_text"][i]
+        )
+        assert t["tox_count"][i] == exp_n
+        assert t["scrubbed_text"][i] == exp_text
