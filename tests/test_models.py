@@ -65,3 +65,32 @@ def test_udf_matches_shared_scorer(spark):
     assert list(got["lang_pred"]) == list(exp_lid["lang_pred"])
     assert list(got["lang_conf"]) == list(exp_lid["lang_conf"])
     assert list(got["ppl"]) == list(exp_ppl)
+
+
+def test_pipeline_handles_megabyte_docs(spark):
+    """Scale-robustness: multi-MB documents flow through the full pipeline
+    (bounded tokenization in the scorers, O(n) native passes) and score
+    identically to the shared-code pandas models."""
+    from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+    from pyspark.sql import functions as F  # noqa: F401
+
+    big_en = ("the quick brown fox jumps over the lazy dog " * 25000)  # ~1.1 MB
+    big_one_token = "x" * 1_000_000  # single megabyte token, no whitespace
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "lang": ["en", "en", "en"],
+            "text": [big_en, big_one_token, "a normal short document."],
+        }
+    )
+    got = (
+        quality_pipeline(spark.createDataFrame(pdf), id_cols=("url",), lang_col="lang")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp_lid = get_model().score_batch(pdf["text"])
+    exp_ppl = get_ppl().score_batch(pdf["text"])
+    assert list(got["lang_pred"]) == list(exp_lid["lang_pred"])
+    assert list(got["ppl"]) == list(exp_ppl)
+    assert got["total_score"].notna().all()
