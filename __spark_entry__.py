@@ -595,6 +595,7 @@ _PRIORITY = [
     "scrub_stats",            # new r3: corpus scrub accounting
     "scrub_toxicity",         # new r3: toxicity word-list masking
     "keep_rate_by_source",    # new r3: per-source lineage readout
+    "score_history",          # r3: exact-integer running mean (sf0.1 tie fix)
     # (c) representatives of already-double-green families
     "quality_scores",
     "quality_scores_nti",
@@ -606,7 +607,6 @@ _PRIORITY = [
     "exact_dedup",
     "dedup_new_batch",
     "minhash_bands",
-    "minhash_candidate_pairs",
     "token_stats",
     "term_stats",
 ]
@@ -723,7 +723,11 @@ daily AS (
   FROM scored GROUP BY 1, 2
 )
 SELECT source, day, n_docs, avg_score,
-  round(avg(avg_score) OVER (PARTITION BY source ORDER BY day), 4) AS running_avg
+  CAST((2 * sum(CAST(round(avg_score * 10000, 0) AS BIGINT))
+          OVER (PARTITION BY source ORDER BY day)
+        + count(*) OVER (PARTITION BY source ORDER BY day))
+       // (2 * count(*) OVER (PARTITION BY source ORDER BY day))
+       AS DOUBLE) / 10000.0 AS running_avg
 FROM daily
 """
     scored_full = sqlgen.native_scoring_sql(extra_cols=("source", "lang"))

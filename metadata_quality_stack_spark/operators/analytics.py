@@ -283,13 +283,33 @@ def score_history(scored: DataFrame) -> DataFrame:
             F.round(F.avg("total_score"), 4).alias("avg_score"),
         )
     )
+    # Running mean in EXACT integer arithmetic. Two cross-engine traps
+    # hide here: (1) a windowed AVG over doubles is engine-dependent in
+    # the last ulp (DuckDB windowed aggregates accumulate via a segment
+    # tree — pairwise order — while Spark sums sequentially); (2) even on
+    # a bit-identical double, round(x, 4) differs at true decimal ties —
+    # Spark goes through BigDecimal.valueOf (shortest-repr, so 275.54675
+    # half-ups to .5468) while DuckDB rounds the exact binary expansion
+    # (275.546749.. -> .5467). So: sum the 4dp daily averages as integer
+    # ten-thousandths (exact, order-free) and half-up round in INTEGER
+    # arithmetic — floor((2s+n)/(2n)) via integer div — then divide by
+    # 10000.0 once. Every step is exact until the final division, which
+    # is a single correctly-rounded IEEE op in both engines.
     w = Window.partitionBy("source").orderBy("day")
-    return daily.select(
-        "source",
-        "day",
-        "n_docs",
-        "avg_score",
-        F.round(F.avg("avg_score").over(w), 4).alias("running_avg"),
+    cents = F.round(F.col("avg_score") * 10000, 0).cast("long")
+    return (
+        daily.select(
+            "source",
+            "day",
+            "n_docs",
+            "avg_score",
+            F.sum(cents).over(w).alias("_s"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .withColumn(
+            "running_avg", F.expr("(2 * _s + _n) div (2 * _n)") / F.lit(10000.0)
+        )
+        .drop("_s", "_n")
     )
 
 
