@@ -27,6 +27,7 @@ from metadata_quality_stack_spark.operators import (
     sampling,
     similarity,
     textops,
+    urlops,
     vocab,
 )
 from metadata_quality_stack_spark.operators.rules import apply_quality, metric_report
@@ -42,6 +43,25 @@ ALLOWED_SOURCES = ["src1", "src2", "src3", "src4"]
 GATE_TOXIC_TERMS = ["slow", "dup", "big"]
 VOCAB_URI_PREFIX = "https://src.example/"
 VOCAB_LABELS = ["rc1", "src2"]  # 'rc1' only matches by substring fallback
+
+# Deterministic crawl-style URL per document (documents.parquet carries no
+# url column — north-rule pages are url-keyed, so the url ops synthesize
+# one from doc_id/source with the SAME expression in Spark and DuckDB).
+# The five suffix classes exercise every normalization step: trailing
+# slash, all-tracking query, tracking-after-real-param, tracking-BEFORE-
+# real-param (the separator-repair case), and a fragment; doc_id % 400
+# forces genuine cross-form collisions for the dedup query.
+SYN_URL_SQL = (
+    "concat("
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTPS://WWW.' "
+    "WHEN 1 THEN 'http://www.' WHEN 2 THEN 'https://' ELSE 'http://' END, "
+    "source, '.example.com/page/', CAST(doc_id % 400 AS STRING), "
+    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/' "
+    "WHEN 1 THEN '?utm_source=feed&utm_campaign=c2' "
+    "WHEN 2 THEN concat('?id=', CAST(doc_id % 7 AS STRING), '&utm_medium=x') "
+    "WHEN 3 THEN concat('?utm_source=feed&ref=r', CAST(doc_id % 9 AS STRING)) "
+    "ELSE '#section-2' END)"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -201,6 +221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg(F.col("total_score").cast("double")), 4).alias("avg_score"),
         )
     )
+
+    # -- url curation (canonicalization before any url-keyed stage)
+    def _pages_with_url(s: SparkSession, d: str) -> DataFrame:
+        return _t(s, d, "documents").select(
+            "doc_id", "source", "n_chars", F.expr(SYN_URL_SQL).alias("url")
+        )
+
+    q["url_normalize"] = lambda s, d: urlops.url_normalize(_pages_with_url(s, d))
+    q["url_dedup"] = lambda s, d: urlops.url_dedup(_pages_with_url(s, d))
+    q["domain_stats"] = lambda s, d: urlops.domain_stats(_pages_with_url(s, d))
 
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
     q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
@@ -596,19 +626,19 @@ _PRIORITY = [
     "scrub_toxicity",         # new r3: toxicity word-list masking
     "keep_rate_by_source",    # new r3: per-source lineage readout
     "score_history",          # r3: exact-integer running mean (sf0.1 tie fix)
+    "url_normalize",          # new r3: crawl-URL canonicalization
+    "url_dedup",              # new r3: url-keyed dedup over canonical form
+    "domain_stats",           # new r3: per-domain skew readout
     # (c) representatives of already-double-green families
     "quality_scores",
     "quality_scores_nti",
-    "rating_histogram",
     "dimension_stats",
     "dimension_correlation_matrix",
     "corpus_summary",
     "curated_corpus",
     "exact_dedup",
-    "dedup_new_batch",
     "minhash_bands",
     "token_stats",
-    "term_stats",
 ]
 
 
@@ -1365,6 +1395,30 @@ FROM per
         "round(avg(CAST(total_score AS DOUBLE)), 4) AS avg_score "
         "FROM scored GROUP BY source"
     )
+
+    # -- url curation (shared synthetic url; normalization chain mirrored
+    # step-for-step by urlops.normalize_url_sql)
+    syn_pages = (
+        f"SELECT doc_id, source, n_chars, {SYN_URL_SQL} AS url FROM documents"
+    )
+    url_norm = urlops.normalize_url_sql("url")
+    o["url_normalize"] = (
+        f"SELECT doc_id, url, {url_norm} AS url_norm FROM ({syn_pages})"
+    )
+    o["url_dedup"] = (
+        f"SELECT {url_norm} AS url_norm, min(doc_id) AS doc_id, "
+        f"count(*) AS n_dups FROM ({syn_pages}) GROUP BY 1"
+    )
+    o["domain_stats"] = f"""
+WITH pages AS ({syn_pages}),
+n AS (SELECT doc_id, n_chars, {url_norm} AS url_norm FROM pages)
+SELECT regexp_replace(regexp_extract(url_norm, '^([^/?&]+)', 1),
+                      ':[0-9]+$', '') AS domain,
+       count(*) AS n_docs,
+       count(DISTINCT url_norm) AS n_urls,
+       round(avg(n_chars), 4) AS avg_chars
+FROM n GROUP BY 1
+"""
 
     # -- training-data pipeline additions (round 2)
     o["term_stats"] = textops.term_stats_sql()

@@ -1,0 +1,128 @@
+"""URL normalization, URL-level dedup, and per-domain skew stats.
+
+Common-Crawl curation keys every page by url (north-rule input_hint:
+``url:string`` is the id column; the reference keys its quality reports
+by the record's access URL, src/api/main.py:141-167). Before any
+url-keyed dedup or per-domain accounting, crawl URLs need canonical
+form: scheme/case/www/fragment/tracking-param/trailing-slash noise
+otherwise splits one logical page across many keys.
+
+Every step here is a native JVM expression (regexp_replace chain —
+codegen, no UDF), so normalization rides the scan projection for free;
+dedup is one hash exchange on the normalized key and domain stats one
+partial-agged groupBy — the same scale shape as exact_dedup.
+
+Dialect parity (the gate runs the same logic in DuckDB): patterns stay
+in the Java/RE2 common subset — no backrefs in patterns, no lookaround
+(RE2 has neither); DuckDB's regexp_replace replaces the FIRST match
+unless passed the 'g' flag, so the SQL mirror passes 'g' wherever
+Spark's replace-all semantics matter, and the one capture reference is
+``$1`` (Java) vs ``\\1`` (RE2).
+
+The tracking-param strip uses the unify trick: rewrite ``?`` to ``&``
+so every param has the same separator, strip ``&utm_...`` globally,
+then turn the FIRST remaining ``&`` back into ``?`` with an anchored
+pattern (anchored => at most one match, so replace-all == replace-first
+in both engines). This handles the hard case ``?utm_source=x&ref=r``
+-> ``?ref=r`` that a naive ``[?&]utm...`` strip leaves dangling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one tracking param with its '&' separator (runs after ? -> & unify)
+_TRACK = "&(utm_[a-z]+|fbclid|gclid)=[^&]*"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase; drop scheme, leading www., #fragment;
+    drop a trailing slash (bare or just before the query); drop
+    utm_*/fbclid/gclid tracking params while repairing the query
+    separator. Pure codegen expression chain — ~8 single-pass scans of a
+    ~100-byte string per row, negligible next to the document text.
+    """
+    u = F.lower(url)
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, "/([?]|$)", "$1")  # trailing slash
+    u = F.replace(u, F.lit("?"), F.lit("&"))   # unify separators
+    u = F.regexp_replace(u, _TRACK, "")        # strip tracking params
+    u = F.regexp_replace(u, "&$", "")          # query emptied entirely
+    return F.regexp_replace(u, "^([^&]*)&", "$1?")  # first & back to ?
+
+
+def normalize_url_sql(url: str) -> str:
+    """DuckDB mirror of :func:`normalize_url` (same step order; 'g' flag
+    where Spark replaces all; ``\\1`` for RE2 capture refs)."""
+    u = f"lower({url})"
+    u = f"regexp_replace({u}, '^https?://', '')"
+    u = f"regexp_replace({u}, '^www\\.', '')"
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = f"regexp_replace({u}, '/([?]|$)', '\\1', 'g')"
+    u = f"replace({u}, '?', '&')"
+    u = f"regexp_replace({u}, '{_TRACK}', '', 'g')"
+    u = f"regexp_replace({u}, '&$', '')"
+    return f"regexp_replace({u}, '^([^&]*)&', '\\1?')"
+
+
+def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Projection: id + raw url + canonical url. Map-only."""
+    return pages.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        normalize_url(F.col(url_col)).alias("url_norm"),
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """One surviving row per canonical URL: min doc_id (deterministic
+    representative) + how many raw rows collapsed into it.
+
+    100 TB shape: rows shrink to (url_norm, doc_id) before the exchange
+    — the page text never shuffles; at real scale swap url_norm for
+    xxhash64(url_norm) so the shuffle key is 8 bytes (same pattern as
+    exact_dedup's fingerprint, operators/dedup.py).
+    """
+    return (
+        pages.select(normalize_url(F.col(url_col)).alias("url_norm"), "doc_id")
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def domain_of(url_norm: Column) -> Column:
+    """Host part of an already-normalized URL (everything before the
+    first '/' or query separator, minus any :port)."""
+    host = F.regexp_extract(url_norm, "^([^/?&]+)", 1)
+    return F.regexp_replace(host, ":[0-9]+$", "")
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain crawl-skew readout: raw rows, distinct canonical URLs,
+    mean document size. THE table an operator reads before choosing
+    salting factors — Zipf-heavy crawl shards show up as one domain
+    holding orders of magnitude more rows than the median.
+
+    count(distinct url_norm) is exact here (gate readout); at 100 TB use
+    approx_count_distinct — same plan shape, two-stage partial agg.
+    """
+    u = normalize_url(F.col(url_col))
+    return (
+        pages.select(
+            domain_of(u).alias("domain"),
+            u.alias("url_norm"),
+            F.col("n_chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url_norm").alias("n_urls"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )

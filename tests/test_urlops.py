@@ -1,0 +1,100 @@
+"""URL canonicalization: Spark/DuckDB parity on hostile inputs, dedup
+semantics, and the scale-shape of the dedup plan (partial agg before the
+one exchange; page text never shuffles)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import urlops
+
+CASES = [
+    "HTTPS://WWW.Ex.COM/Page/3/",
+    "http://ex.com/page/3?utm_source=feed&utm_campaign=c2",
+    "https://ex.com/page/3?id=5&utm_medium=x",
+    "https://ex.com/page/3?utm_source=feed&ref=r7",     # separator repair
+    "http://www.ex.com/page/3#section-2",
+    "https://ex.com/page/3/?utm_source=a",              # slash + all-tracking
+    "ex.com/page/3?",                                   # no scheme, empty query
+    "https://ex.com:8080/a?fbclid=xyz&q=1&gclid=2",     # port + mixed tracking
+    "",                                                 # hostile: empty
+    "   ",                                              # hostile: whitespace
+    "https://",                                         # hostile: scheme only
+    "?utm_source=x",                                    # hostile: query only
+    None,                                               # hostile: NULL
+]
+
+
+def test_normalize_parity_spark_vs_duckdb(spark):
+    sdf = spark.createDataFrame([(c,) for c in CASES], "url string")
+    got = [
+        r.n
+        for r in sdf.select(
+            urlops.normalize_url(F.col("url")).alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    expr = urlops.normalize_url_sql("url")
+    want = [
+        con.execute(f"SELECT {expr} FROM (SELECT ?::VARCHAR AS url)", [c]).fetchone()[0]
+        for c in CASES
+    ]
+    assert got == want
+
+
+def test_normalize_expected_values(spark):
+    sdf = spark.createDataFrame([(c,) for c in CASES[:8]], "url string")
+    got = [
+        r.n
+        for r in sdf.select(
+            urlops.normalize_url(F.col("url")).alias("n")
+        ).collect()
+    ]
+    assert got == [
+        "ex.com/page/3",
+        "ex.com/page/3",
+        "ex.com/page/3?id=5",
+        "ex.com/page/3?ref=r7",
+        "ex.com/page/3",
+        "ex.com/page/3",
+        "ex.com/page/3",
+        "ex.com:8080/a?q=1",
+    ]
+
+
+def test_url_dedup_collapses_equivalent_forms(spark):
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM/a/"),
+        (2, "http://ex.com/a"),
+        (3, "ex.com/a?utm_source=feed"),
+        (4, "https://ex.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.url_norm: (r.doc_id, r.n_dups) for r in urlops.url_dedup(df).collect()}
+    assert out == {"ex.com/a": (1, 3), "ex.com/b": (4, 1)}
+
+
+def test_domain_stats(spark):
+    rows = [
+        (1, "https://a.com/x", 10),
+        (2, "http://www.a.com/x", 30),   # same canonical url as 1
+        (3, "https://a.com:443/y", 20),  # port stripped -> same domain
+        (4, "https://b.com/z", 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    out = {r.domain: (r.n_docs, r.n_urls, r.avg_chars) for r in urlops.domain_stats(df).collect()}
+    assert out == {"a.com": (3, 2, 20.0), "b.com": (1, 1, 40.0)}
+
+
+def test_dedup_plan_partial_agg_single_exchange(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", 5)], "doc_id long, url string, n_chars long"
+    )
+    plan = urlops.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # map-side combine before the shuffle: two HashAggregates
+    assert plan.count("HashAggregate") == 2
+    # the shuffled rows carry only (url_norm, partial min, partial count)
+    # — in particular not the unused n_chars column
+    exchange_line = next(l for l in plan.splitlines() if "Exchange" in l)
+    assert "n_chars" not in exchange_line and "url_norm" in exchange_line
