@@ -51,6 +51,7 @@ VOCAB_LABELS = ["rc1", "src2"]  # 'rc1' only matches by substring fallback
 # slash, all-tracking query, tracking-after-real-param, tracking-BEFORE-
 # real-param (the separator-repair case), and a fragment; doc_id % 400
 # forces genuine cross-form collisions for the dedup query.
+BLOCKED_DOMAINS = ["src3.example.com", "src7.example.com", "src11.example.com"]
 SYN_URL_SQL = (
     "concat("
     "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTPS://WWW.' "
@@ -231,6 +232,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_normalize"] = lambda s, d: urlops.url_normalize(_pages_with_url(s, d))
     q["url_dedup"] = lambda s, d: urlops.url_dedup(_pages_with_url(s, d))
     q["domain_stats"] = lambda s, d: urlops.domain_stats(_pages_with_url(s, d))
+
+    # blocklist as a DataFrame -> exercises the broadcast anti-join path
+    # (the scale shape for a blocklist too big for a literal IN-list)
+    def blocklist_q(s: SparkSession, d: str) -> DataFrame:
+        bl = s.createDataFrame([(x,) for x in BLOCKED_DOMAINS], "domain string")
+        return urlops.blocklist_filter(_pages_with_url(s, d), bl).select(
+            "doc_id", "source"
+        )
+
+    q["blocklist_filter"] = blocklist_q
 
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
     q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
@@ -629,6 +640,7 @@ _PRIORITY = [
     "url_normalize",          # new r3: crawl-URL canonicalization
     "url_dedup",              # new r3: url-keyed dedup over canonical form
     "domain_stats",           # new r3: per-domain skew readout
+    "blocklist_filter",       # new r3: broadcast anti-join domain exclusion
     # (c) representatives of already-double-green families
     "quality_scores",
     "quality_scores_nti",
@@ -638,7 +650,6 @@ _PRIORITY = [
     "curated_corpus",
     "exact_dedup",
     "minhash_bands",
-    "token_stats",
 ]
 
 
@@ -1418,6 +1429,15 @@ SELECT regexp_replace(regexp_extract(url_norm, '^([^/?&]+)', 1),
        count(DISTINCT url_norm) AS n_urls,
        round(avg(n_chars), 4) AS avg_chars
 FROM n GROUP BY 1
+"""
+    blocked_list = ", ".join(f"'{b}'" for b in BLOCKED_DOMAINS)
+    o["blocklist_filter"] = f"""
+WITH pages AS ({syn_pages}),
+n AS (SELECT doc_id, source,
+        regexp_replace(regexp_extract({url_norm}, '^([^/?&]+)', 1),
+                       ':[0-9]+$', '') AS domain
+      FROM pages)
+SELECT doc_id, source FROM n WHERE domain NOT IN ({blocked_list})
 """
 
     # -- training-data pipeline additions (round 2)

@@ -103,6 +103,37 @@ def domain_of(url_norm: Column) -> Column:
     return F.regexp_replace(host, ":[0-9]+$", "")
 
 
+def blocklist_filter(
+    pages: DataFrame,
+    blocked,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop every page whose (normalized) domain is on a blocklist —
+    the C4-style badwords/domain exclusion step that runs before any
+    scoring spend.
+
+    ``blocked`` is either a ``list[str]`` of domains — compiled to a
+    literal IN-list predicate, pure codegen, rides the scan projection
+    (the right shape for a config-sized list) — or a one-column
+    DataFrame — broadcast hash anti-join, the right shape for a
+    multi-million-entry blocklist that lives in a table (still no
+    shuffle of the pages side; only the blocklist moves).
+    """
+    dom = domain_of(normalize_url(F.col(url_col)))
+    if isinstance(blocked, (list, tuple)):
+        return pages.where(~dom.isin(*blocked))
+    bl = blocked.select(F.col(blocked.columns[0]).alias("_blocked_domain"))
+    return (
+        pages.withColumn("_domain", dom)
+        .join(
+            F.broadcast(bl),
+            F.col("_domain") == F.col("_blocked_domain"),
+            "left_anti",
+        )
+        .drop("_domain")
+    )
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-domain crawl-skew readout: raw rows, distinct canonical URLs,
     mean document size. THE table an operator reads before choosing

@@ -86,6 +86,27 @@ def test_domain_stats(spark):
     assert out == {"a.com": (3, 2, 20.0), "b.com": (1, 1, 40.0)}
 
 
+def test_blocklist_filter_variants_agree_and_broadcast(spark):
+    rows = [
+        (1, "https://bad.com/x"),
+        (2, "http://www.bad.com/y"),      # www-normalized into the block
+        (3, "https://good.com/z"),
+        (4, "https://bad.com.evil.org/"), # suffix lookalike must SURVIVE
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["bad.com"]
+
+    lit_ids = sorted(r.doc_id for r in urlops.blocklist_filter(df, blocked).collect())
+    bl_df = spark.createDataFrame([(b,) for b in blocked], "domain string")
+    join_out = urlops.blocklist_filter(df, bl_df)
+    join_ids = sorted(r.doc_id for r in join_out.collect())
+    assert lit_ids == join_ids == [3, 4]
+
+    plan = join_out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # pages side never shuffles
+
+
 def test_dedup_plan_partial_agg_single_exchange(spark):
     df = spark.createDataFrame(
         [(1, "https://a.com/x", 5)], "doc_id long, url string, n_chars long"
