@@ -52,6 +52,11 @@ VOCAB_LABELS = ["rc1", "src2"]  # 'rc1' only matches by substring fallback
 # real-param (the separator-repair case), and a fragment; doc_id % 400
 # forces genuine cross-form collisions for the dedup query.
 BLOCKED_DOMAINS = ["src3.example.com", "src7.example.com", "src11.example.com"]
+# deterministic capture time per doc as epoch seconds (BIGINT — dialect-
+# shared; the operator orders any comparable ts type). doc_id strides on
+# 13/7 guarantee same-url snapshots get distinct-looking times while
+# leaving the doc_id tiebreak reachable.
+SYN_WARC_TS_SQL = "1717200000 + (doc_id % 13) * 86400 + (doc_id % 7) * 3600"
 SYN_URL_SQL = (
     "concat("
     "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTPS://WWW.' "
@@ -232,6 +237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_normalize"] = lambda s, d: urlops.url_normalize(_pages_with_url(s, d))
     q["url_dedup"] = lambda s, d: urlops.url_dedup(_pages_with_url(s, d))
     q["domain_stats"] = lambda s, d: urlops.domain_stats(_pages_with_url(s, d))
+
+    # recrawl collapse: newest capture per canonical url (max_by-style
+    # agg — no window sort; the exchange carries one slim row per key)
+    def latest_snapshot_q(s: SparkSession, d: str) -> DataFrame:
+        pages = _pages_with_url(s, d).withColumn("warc_ts", F.expr(SYN_WARC_TS_SQL))
+        return urlops.latest_snapshot_per_url(pages)
+
+    q["latest_snapshot_per_url"] = latest_snapshot_q
 
     # blocklist as a DataFrame -> exercises the broadcast anti-join path
     # (the scale shape for a blocklist too big for a literal IN-list)
@@ -641,11 +654,11 @@ _PRIORITY = [
     "url_dedup",              # new r3: url-keyed dedup over canonical form
     "domain_stats",           # new r3: per-domain skew readout
     "blocklist_filter",       # new r3: broadcast anti-join domain exclusion
+    "latest_snapshot_per_url",  # new r3: recrawl collapse (max_by agg)
     # (c) representatives of already-double-green families
     "quality_scores",
     "quality_scores_nti",
     "dimension_stats",
-    "dimension_correlation_matrix",
     "corpus_summary",
     "curated_corpus",
     "exact_dedup",
@@ -1429,6 +1442,17 @@ SELECT regexp_replace(regexp_extract(url_norm, '^([^/?&]+)', 1),
        count(DISTINCT url_norm) AS n_urls,
        round(avg(n_chars), 4) AS avg_chars
 FROM n GROUP BY 1
+"""
+    o["latest_snapshot_per_url"] = f"""
+WITH pages AS ({syn_pages}),
+n AS (SELECT {url_norm} AS url_norm, doc_id,
+        {SYN_WARC_TS_SQL} AS warc_ts FROM pages),
+r AS (SELECT url_norm, doc_id, warc_ts,
+        row_number() OVER (PARTITION BY url_norm
+                           ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+        count(*) OVER (PARTITION BY url_norm) AS n_snapshots
+      FROM n)
+SELECT url_norm, doc_id, warc_ts, n_snapshots FROM r WHERE rn = 1
 """
     blocked_list = ", ".join(f"'{b}'" for b in BLOCKED_DOMAINS)
     o["blocklist_filter"] = f"""

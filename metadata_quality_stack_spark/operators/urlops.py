@@ -96,6 +96,57 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def latest_snapshot_per_url(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Newest capture wins: one row per canonical URL, the one with the
+    greatest ``warc_ts`` (ties broken by greatest id — deterministic).
+    The recrawl-collapse step a Common-Crawl ingest runs before scoring:
+    the same page fetched across N monthly crawls must count once, as
+    its freshest snapshot.
+
+    Shape: max_by single hash aggregation — map-side partial keeps one
+    slim winner per key per partition, so the exchange never carries the
+    page text; a window row_number() would sort whole partitions for
+    the same answer.
+
+    The (ts, id) lexicographic ordering is packed into ONE
+    DECIMAL(38,0): ``ts * 10^19 + id``. The obvious
+    ``max(struct(ts, id))`` / ``max_by(..., struct(...))`` formulations
+    compile to SortAggregate — Spark's hash aggregate requires
+    fixed-width mutable buffer fields, which structs (and strings!) are
+    not — re-introducing exactly the per-partition sort this
+    formulation exists to avoid. A 128-bit decimal IS fixed-width, fits
+    ts*10^19 + id exactly for every long ts (9.2e37 + 9.2e18 < 1e38),
+    and stays in whole-stage codegen. Precondition: ``id_col`` >= 0
+    (band packing; any long ts is fine) — plan + tie semantics are
+    regression-tested in tests/test_urlops.py.
+    """
+    u = normalize_url(F.col(url_col))
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")  # 10^19
+    ordv = (
+        F.col(ts_col).cast("decimal(19,0)") * shift
+        + F.col(id_col).cast("decimal(38,0)")
+    )
+    return (
+        pages.select(
+            u.alias("url_norm"),
+            F.col(id_col),
+            F.col(ts_col),
+            ordv.alias("_ord"),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.max_by(id_col, F.col("_ord")).alias(id_col),
+            F.max_by(ts_col, F.col("_ord")).alias(ts_col),
+            F.count("*").alias("n_snapshots"),
+        )
+    )
+
+
 def domain_of(url_norm: Column) -> Column:
     """Host part of an already-normalized URL (everything before the
     first '/' or query separator, minus any :port)."""

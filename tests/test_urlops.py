@@ -86,6 +86,34 @@ def test_domain_stats(spark):
     assert out == {"a.com": (3, 2, 20.0), "b.com": (1, 1, 40.0)}
 
 
+def test_latest_snapshot_per_url(spark):
+    rows = [
+        (1, "https://a.com/x", 100),
+        (2, "http://www.a.com/x/", 300),   # same canonical url, newest
+        (3, "a.com/x?utm_source=f", 200),
+        (4, "https://b.com/y", 50),
+        (5, "https://b.com/y", 50),        # exact ts tie -> max doc_id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    out = {
+        r.url_norm: (r.doc_id, r.warc_ts, r.n_snapshots)
+        for r in urlops.latest_snapshot_per_url(df).collect()
+    }
+    assert out == {"a.com/x": (2, 300, 3), "b.com/y": (5, 50, 2)}
+
+    plan = (
+        urlops.latest_snapshot_per_url(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # agg formulation: no window, no SortAggregate (the decimal-packed
+    # ordering keeps max_by hash-aggregable — struct orderings silently
+    # fall back to SortAggregate), map-side combine, one exchange
+    assert "Window" not in plan and "SortAggregate" not in plan
+    assert plan.count("Exchange") == 1 and plan.count("HashAggregate") == 2
+
+
 def test_blocklist_filter_variants_agree_and_broadcast(spark):
     rows = [
         (1, "https://bad.com/x"),
