@@ -49,13 +49,21 @@ def _stages(
         "rating",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
     )
-    # canonical-per-fingerprint via min_by hash aggregation, NOT a
-    # row_number window: no sort anywhere, and the partial aggregate
-    # combines map-side — the shuffle carries one candidate per
-    # fingerprint per partition, never the duplicates. (This fuses with
-    # the scoring stage and compiles fine; the 64KB codegen overflow this
-    # plan once hit came from the keep-filter pushdown, fixed by
-    # filter_scored's observe barrier.)
+    # canonical-per-fingerprint via min_by aggregation, NOT a
+    # row_number window over the whole table: the partial aggregate
+    # combines map-side, so the shuffle carries one candidate per
+    # fingerprint per partition, never the duplicates. NOTE: the
+    # string-valued payloads (source/lang/rating) force SortAggregate —
+    # Spark's hash aggregate needs fixed-width buffers — but that
+    # per-partition sort of slim ~50 B rows is MEASURED cheaper than the
+    # hash-aggregable rewrites (min-id hash agg + re-join raw: 2.2x
+    # slower; xxhash64-encode + broadcast dict decode: 1.5x slower;
+    # tools/argmin_bench.py, 2M rows x4 dup, best-of-3 interleaved),
+    # because both alternatives pay a second join for what the sort
+    # buffers give in one pass. (This fuses with the scoring stage and
+    # compiles fine; the 64KB codegen overflow this plan once hit came
+    # from the keep-filter pushdown, fixed by filter_scored's observe
+    # barrier.)
     deduped = slim.groupBy("fingerprint").agg(
         *[
             F.min_by(c, "doc_id").alias(c)
