@@ -110,33 +110,90 @@ class PerplexityModel:
         return float(self.score_batch(pd.Series([text])).iloc[0])
 
     def score_batch(self, texts: pd.Series) -> pd.Series:
-        """Flat-batch scoring: tokenize per doc (Python, unavoidable),
-        then hash/gather/score ALL tokens of the batch in single numpy
-        passes with one segmented reduce per doc. Doc-boundary bigram
-        positions are overwritten by the unigram backoff, so no pair
-        masking is needed."""
-        tok_lists = [
-            _capped_tokens(t) if isinstance(t, str) and t else []
+        """Flat-batch scoring with per-batch raw-token dedup.
+
+        Stage 1 builds RAW (unstripped) token lists per doc with C-speed
+        ``str.split``. Stage 2 ``pd.factorize``s the flat raw-token array
+        so the per-token Python work — edge-punct strip + utf-8 encode +
+        crc32 — runs once per DISTINCT raw token in the Arrow batch, not
+        once per occurrence (web text is Zipfian; the stopword mass
+        dedups away). Strip-to-empty drop and the MAX_TOKENS cap are
+        applied as vectorized masks over the factorized codes. The
+        probability math is unchanged and consumes the exact same crc
+        sequence, so scores are bit-identical to the per-occurrence
+        formulation (regression: tests/test_models.py parity test).
+
+        Long docs tokenize a 64 KiB prefix first; if the prefix yields
+        STRICTLY MORE than MAX_TOKENS kept tokens the first MAX_TOKENS
+        are provably what full-text tokenization would produce (see
+        _capped_tokens), otherwise the rare shortfall docs are re-split
+        on the full text and the batch recomputes — exactness first,
+        the fast path only changes work.
+
+        Doc-boundary bigram positions are overwritten by the unigram
+        backoff, so no pair masking is needed."""
+        n = len(texts)
+        out = np.full(n, PPL_EMPTY, dtype=np.float64)
+        long_mask = np.fromiter(
+            (isinstance(t, str) and len(t) > _SLICE_BOUND for t in texts),
+            dtype=np.bool_,
+            count=n,
+        )
+        raw_lists: list[list[str]] = [
+            (t[:_SLICE_BOUND] if len(t) > _SLICE_BOUND else t).lower().split()
+            if isinstance(t, str) and t
+            else []
             for t in texts
         ]
-        out = np.full(len(tok_lists), PPL_EMPTY, dtype=np.float64)
-        lens = np.fromiter(
-            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
-        )
-        nz = lens > 0
-        if nz.any():
-            import itertools
-
-            flat = list(
-                itertools.chain.from_iterable(t for t in tok_lists if t)
+        while True:
+            raw_lens = np.fromiter(
+                (len(r) for r in raw_lists), dtype=np.int64, count=n
             )
-            seg_lens = lens[nz]
+            total = int(raw_lens.sum())
+            if total == 0:
+                return pd.Series(out, dtype="float64")
+            flat_raw = np.empty(total, dtype=object)
+            pos = 0
+            for r in raw_lists:
+                if r:
+                    flat_raw[pos : pos + len(r)] = r
+                    pos += len(r)
+            codes, uniques = pd.factorize(flat_raw)
+            stripped_u = [t.strip(_EDGE_PUNCT) for t in uniques]
+            keep_u = np.fromiter(
+                (bool(s) for s in stripped_u), dtype=np.bool_, count=len(stripped_u)
+            )
+            crc_u = np.fromiter(
+                (crc32(s.encode("utf-8")) for s in stripped_u),
+                dtype=np.uint64,
+                count=len(stripped_u),
+            )
+            keep = keep_u[codes]
+            ck0 = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(keep, out=ck0[1:])
+            starts_raw = np.zeros(n, dtype=np.int64)
+            np.cumsum(raw_lens[:-1], out=starts_raw[1:])
+            kept_per_doc = ck0[starts_raw + raw_lens] - ck0[starts_raw]
+            redo = long_mask & (kept_per_doc <= MAX_TOKENS)
+            if not redo.any():
+                break
+            for i in np.nonzero(redo)[0]:
+                raw_lists[int(i)] = texts.iat[int(i)].lower().split()
+            long_mask &= ~redo
+        # select: kept tokens whose 0-based rank within their doc < cap
+        doc_of = np.repeat(np.arange(n), raw_lens)
+        rank = ck0[:total] - ck0[starts_raw][doc_of]
+        sel = keep & (rank < MAX_TOKENS)
+        seg_lens_all = np.minimum(kept_per_doc, MAX_TOKENS)
+        nz = seg_lens_all > 0
+        if nz.any():
+            crc = crc_u[codes[sel]]
+            seg_lens = seg_lens_all[nz]
             starts = np.zeros(len(seg_lens), dtype=np.int64)
             np.cumsum(seg_lens[:-1], out=starts[1:])
-            crc = _crc_flat(flat)
             pu = self.p_uni[_uni_idx_from_crc(crc)]
-            pb = np.empty(len(flat), dtype=np.float64)
-            if len(flat) > 1:
+            pb = np.empty(len(crc), dtype=np.float64)
+            if len(crc) > 1:
                 pb[1:] = self.p_bi[_bi_idx_from_crc(crc)]
             pb[starts] = pu[starts]  # doc-first tokens back off to unigram
             p = W_BI * pb + W_UNI * pu + W_FLOOR * P_FLOOR
