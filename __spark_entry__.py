@@ -315,6 +315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source", 3, "doc_id",
     )
     q["score_quantiles"] = lambda s, d: sampling.score_quantiles(_scored(s, d))
+    # content-hash-keyed train/val/test assignment (exact-duplicate
+    # leakage guard: identical texts share a split by construction)
+    q["train_val_test_split"] = lambda s, d: sampling.train_val_test_split(
+        _t(s, d, "documents")
+    )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
     # deterministic 50% sample -> per-source cap of 10
@@ -393,6 +398,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_new_batch"] = dedup_new_batch
+
+    # fuzzy twin of dedup_new_batch: the new batch probed against the
+    # corpus's stored LSH band index (same doc_id % 10 batch carve-out)
+    def fuzzy_dedup_new_batch(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        return dedup.fuzzy_dedup_new_batch(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        )
+
+    q["fuzzy_dedup_new_batch"] = fuzzy_dedup_new_batch
+    # signature-agreement Jaccard estimate per LSH candidate pair (the
+    # text-free verify stage between banding and exact Jaccard)
+    q["minhash_jaccard_estimate"] = lambda s, d: dedup.minhash_jaccard_estimate(
+        _t(s, d, "documents")
+    )
     q["minhash_bands"] = lambda s, d: dedup.minhash_bands(_t(s, d, "documents"))
     q["minhash_candidate_pairs"] = lambda s, d: dedup.minhash_candidate_pairs(
         _t(s, d, "documents")
@@ -655,11 +676,13 @@ _PRIORITY = [
     "domain_stats",           # new r3: per-domain skew readout
     "blocklist_filter",       # new r3: broadcast anti-join domain exclusion
     "latest_snapshot_per_url",  # new r3: recrawl collapse (max_by agg)
-    # (c) representatives of already-double-green families
+    "fuzzy_dedup_new_batch",  # new r3: batch-vs-corpus LSH index probe
+    "minhash_jaccard_estimate",  # new r3: signature-agreement pair verify
+    "train_val_test_split",   # new r3: content-hash split (leakage guard)
+    # (c) representatives of already-double-green families (the rest of
+    # the r1+r2-green set follows in dict order past the driver window;
+    # tools/check_gate.py covers them every session)
     "quality_scores",
-    "quality_scores_nti",
-    "dimension_stats",
-    "corpus_summary",
     "curated_corpus",
     "exact_dedup",
     "minhash_bands",
@@ -883,6 +906,7 @@ SELECT doc_id, source FROM (
         )
         + " FROM scored"
     )
+    o["train_val_test_split"] = sampling.train_val_test_split_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "
@@ -1041,6 +1065,40 @@ FROM documents
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
         "AND a.doc_id < b.doc_id"
     )
+    agree_sum = " + ".join(
+        f"CASE WHEN s1.mh{k} = s2.mh{k} THEN 1 ELSE 0 END"
+        for k in range(dedup.N_MINHASH)
+    )
+    o["minhash_jaccard_estimate"] = f"""
+{bands_cte},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  AND a.doc_id < b.doc_id
+)
+SELECT p.d1, p.d2,
+       CAST({agree_sum} AS BIGINT) AS n_agree,
+       round(CAST({agree_sum} AS DOUBLE) / {float(dedup.N_MINHASH)}, 6)
+         AS est_jaccard
+FROM pairs p JOIN sig s1 ON p.d1 = s1.doc_id JOIN sig s2 ON p.d2 = s2.doc_id
+"""
+    o["fuzzy_dedup_new_batch"] = f"""
+{bands_cte},
+corpus_idx AS (SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 10 <> 0),
+batch_bands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT b.doc_id, count(*) AS n_hit_bands
+  FROM batch_bands b JOIN corpus_idx c
+    ON b.band = c.band AND b.bucket = c.bucket
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+       (coalesce(h.n_hit_bands, 0) > 0) AS near_dup_of_corpus,
+       (coalesce(h.n_hit_bands, 0) = 0) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
     # connected components over the candidate graph: min reachable doc_id
     # per node via a recursive CTE (the SQL twin of the Spark label loop)
     clusters_sql = f"""

@@ -418,6 +418,94 @@ def fuzzy_dedup_keep(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     )
 
 
+def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
+    """Signature-agreement Jaccard estimate for every LSH candidate pair
+    — the text-free verify stage between banding and any exact check.
+    E[fraction of equal minhashes] = Jaccard(shingle sets), so the
+    estimate costs k integer comparisons per pair instead of re-reading
+    two documents. Pipeline: bands -> candidate pairs -> THIS (drop
+    pairs whose estimate is under threshold) -> exact Jaccard only on
+    the survivors (ngram_jaccard_pairs semantics).
+
+    Scale shape: candidate pairs carry two 8-byte ids; each side joins
+    the signature table (k longs/doc) on doc_id — two hash joins whose
+    shuffled payload is O(pairs + docs) small fixed-width rows. Raw
+    text never moves. With k=8 hashes the estimate is coarse
+    (granularity 1/8) — it is a pre-filter dial, not a measurement;
+    production would carry k=128 signatures through the same plan.
+
+    Columns: d1, d2, n_agree, est_jaccard."""
+    sigs = minhash_signatures(docs).filter(F.col("mh0").isNotNull())
+    pairs = minhash_candidate_pairs(docs)
+    a = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(N_MINHASH)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(N_MINHASH)],
+    )
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("long") for k in range(N_MINHASH)
+    )
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            agree.alias("n_agree"),
+            F.round(agree.cast("double") / F.lit(float(N_MINHASH)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def fuzzy_dedup_new_batch(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Incremental NEAR-dup: a new crawl batch probed against the
+    existing corpus's stored LSH band index — the fuzzy twin of
+    :func:`dedup_new_batch` and the production ingest mode at 100 TB
+    (nobody re-clusters 10^12 documents per crawl delta; the delta is
+    banded and probed against the historical index).
+
+    A batch document is flagged near_dup_of_corpus iff ANY of its LSH
+    band buckets already exists in the corpus index. Documents with no
+    shingles (< 3 tokens) produce no bands and are never flagged here —
+    they belong to the exact path (dedup_new_batch), same contract as
+    minhash_bands.
+
+    Scale shape: the corpus side ships ONLY distinct (band, bucket)
+    pairs (~20 bytes x N_BANDS per doc, not text, not signatures); with
+    the index maintained as a table bucketed on (band, bucket)
+    (sources/bucketed.py) the historical side's shuffle disappears and
+    only the delta's bands move. The hit count aggregates map-side;
+    the final left join runs on batch ids only.
+
+    Columns: doc_id, n_hit_bands, near_dup_of_corpus, keep."""
+    corpus_idx = minhash_bands(corpus).select("band", "bucket").distinct()
+    batch_bands = minhash_bands(new_docs)
+    hits = (
+        batch_bands.join(corpus_idx, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_bands"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_bands"), F.lit(0)).cast("long").alias(
+                "n_hit_bands"
+            ),
+            (F.coalesce(F.col("n_hit_bands"), F.lit(0)) > 0).alias(
+                "near_dup_of_corpus"
+            ),
+            (F.coalesce(F.col("n_hit_bands"), F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
 def dedup_new_batch(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     """Incremental dedup: a NEW batch against the EXISTING corpus's
     fingerprint index — the production mode at 100 TB (a crawl delta is

@@ -37,6 +37,53 @@ def deterministic_sample(
     return df.filter(sample_bucket(F.col(id_col)) < rate_pct)
 
 
+def train_val_test_split(
+    docs: DataFrame, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on the CONTENT
+    fingerprint, not the doc id: bucket = md5(text)-derived 0..99, so
+    byte-identical duplicate documents always land in the SAME split —
+    the exact-duplicate leakage guard (id-keyed or rand() splits let a
+    page crawled twice straddle train and test; fuzzy leakage is the
+    companion operator contamination.decontaminate). Map-only: the
+    bucket is one md5 over a column already being read, no shuffle, and
+    the assignment is reproducible across runs, engines, and cluster
+    sizes.
+
+    Columns: doc_id, source, lang, bucket, split."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 7), 16, 10
+        ).cast("long")
+        % SAMPLE_BUCKETS
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        b.alias("bucket"),
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def train_val_test_split_sql(
+    table: str = "documents", val_pct: int = 5, test_pct: int = 5
+) -> str:
+    """DuckDB mirror of :func:`train_val_test_split` (identical md5
+    bucket arithmetic)."""
+    b = f"(('0x' || substr(md5(text), 1, 7))::BIGINT % {SAMPLE_BUCKETS})"
+    return f"""
+SELECT doc_id, source, lang, {b} AS bucket,
+       CASE WHEN {b} < {test_pct} THEN 'test'
+            WHEN {b} < {test_pct + val_pct} THEN 'val'
+            ELSE 'train' END AS split
+FROM {table}
+"""
+
+
 def cap_per_key(
     df: DataFrame, key_col: str, n: int, order_col: str
 ) -> DataFrame:

@@ -230,3 +230,40 @@ def test_rebalance_corpus_moves_mix_toward_uniform(spark):
     # integer upsampling emits distinct copy indices
     es_copies = out.filter(F.col("lang") == "es").groupBy("doc_id").agg(F.count("*").alias("c")).collect()
     assert all(r["c"] == 5 for r in es_copies)
+
+
+def test_train_val_test_split_is_content_keyed(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    rows = [
+        (i, f"s{i % 3}", "en", f"document body number {i} with words") for i in range(200)
+    ]
+    # docs 500/501 are byte-identical duplicates with different ids/sources
+    rows += [(500, "sA", "en", "shared duplicate body"), (501, "sB", "es", "shared duplicate body")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    out = sampling.train_val_test_split(docs).collect()
+    assert len(out) == 202
+    by_id = {r.doc_id: r for r in out}
+    # leakage guard: identical text -> identical bucket -> identical split
+    assert by_id[500].bucket == by_id[501].bucket
+    assert by_id[500].split == by_id[501].split
+    for r in out:
+        assert 0 <= r.bucket < sampling.SAMPLE_BUCKETS
+        assert r.split == (
+            "test" if r.bucket < 5 else "val" if r.bucket < 10 else "train"
+        )
+    # with 200 distinct texts all three splits should be populated
+    splits = {r.split for r in out}
+    assert splits == {"train", "val", "test"}
+
+
+def test_train_val_test_split_deterministic_across_runs(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "s", "en", f"text {i}") for i in range(50)],
+        "doc_id long, source string, lang string, text string",
+    )
+    a = sorted((r.doc_id, r.split) for r in sampling.train_val_test_split(docs).collect())
+    b = sorted((r.doc_id, r.split) for r in sampling.train_val_test_split(docs).collect())
+    assert a == b

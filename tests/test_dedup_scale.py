@@ -154,3 +154,61 @@ def test_dedup_new_batch_semantics(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_dedup_new_batch_flags_corpus_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "pack my box with five dozen liquor jugs before noon")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                      # exact -> every band collides
+            (11, "completely different words about unrelated topics entirely here now"),
+            (12, "hi"),                      # no shingles -> never flagged here
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.fuzzy_dedup_new_batch(batch, corpus).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["near_dup_of_corpus"] and not out[10]["keep"]
+    assert out[10]["n_hit_bands"] == dedup.N_BANDS
+    assert not out[11]["near_dup_of_corpus"] and out[11]["keep"]
+    # short doc: no bands, handled by the exact path, keep=True here
+    assert out[12]["n_hit_bands"] == 0 and out[12]["keep"]
+
+
+def test_fuzzy_dedup_new_batch_short_corpus_docs_build_no_index(spark):
+    """A corpus of no-shingle docs must yield an EMPTY band index — if the
+    NULL signature leaked into banding, every short batch doc would
+    collide with it (the r1 degenerate-bucket bug, incremental form)."""
+    corpus = spark.createDataFrame(
+        [(i, ["", "x", "a b"][i % 3]) for i in range(300)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, ""), (1001, "y z")], "doc_id long, text string"
+    )
+    out = dedup.fuzzy_dedup_new_batch(batch, corpus).collect()
+    assert all(r.keep and r.n_hit_bands == 0 for r in out)
+
+
+def test_minhash_jaccard_estimate_bounds_and_exact_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "pack my box with five dozen liquor jugs before noon")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_jaccard_estimate(docs).collect()
+    # identical docs agree on every minhash -> estimate 1.0
+    exact = [r for r in rows if (r.d1, r.d2) == (1, 2)]
+    assert len(exact) == 1
+    assert exact[0].n_agree == dedup.N_MINHASH
+    assert exact[0].est_jaccard == 1.0
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.d1 < r.d2
