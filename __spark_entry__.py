@@ -431,6 +431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
     # C4-style corpus-level line dedup (census + scrub transform)
     q["line_dup_stats"] = lambda s, d: dedup.line_dup_stats(_t(s, d, "documents"))
+    # MassiveText-style inter-document duplicated-n-gram census
+    q["dup_ngram_fraction"] = lambda s, d: dedup.dup_ngram_fraction(
+        _t(s, d, "documents")
+    )
     q["drop_duplicated_lines"] = lambda s, d: dedup.drop_duplicated_lines(
         _t(s, d, "documents")
     )
@@ -679,13 +683,13 @@ _PRIORITY = [
     "fuzzy_dedup_new_batch",  # new r3: batch-vs-corpus LSH index probe
     "minhash_jaccard_estimate",  # new r3: signature-agreement pair verify
     "train_val_test_split",   # new r3: content-hash split (leakage guard)
+    "dup_ngram_fraction",     # new r3: inter-doc duplicated-n-gram census
     # (c) representatives of already-double-green families (the rest of
     # the r1+r2-green set follows in dict order past the driver window;
     # tools/check_gate.py covers them every session)
     "quality_scores",
     "curated_corpus",
     "exact_dedup",
-    "minhash_bands",
 ]
 
 
@@ -907,6 +911,7 @@ SELECT doc_id, source FROM (
         + " FROM scored"
     )
     o["train_val_test_split"] = sampling.train_val_test_split_sql()
+    o["dup_ngram_fraction"] = dedup.dup_ngram_fraction_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -284,6 +284,106 @@ def line_dup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+DUP_NGRAM_N = 5  # 13 in MassiveText; 5 keeps small-SF tests meaningful
+
+
+def dup_ngram_fraction(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
+    """Inter-document repetition census (the cross-corpus complement of
+    the within-doc repetition_stats and the line-level line_dup_stats):
+    for every document, the fraction of its word n-gram POSITIONS whose
+    n-gram also occurs in at least one OTHER document. The
+    MassiveText/RefinedWeb-style "duplicated n-gram fraction" readout
+    that flags template spam and syndicated boilerplate that line-exact
+    dedup misses (publicly described in the Gopher appendix A1.1 and the
+    RefinedWeb paper; no reference-stack analog — beyond-reference
+    training-data axis).
+
+    df counts DISTINCT docs per n-gram hash, so a phrase repeated only
+    within one document does not count as inter-document duplication.
+
+    Shape: n-grams are hashed to 16-byte md5 IN THE SCAN STAGE, so the
+    census shuffle moves hashes, never phrase text; df agg partials
+    combine map-side; join-back + per-doc rollup is the second/third
+    exchange, both on fixed-width keys — identical scale posture to
+    line_dup_stats. Docs with < n tokens report zero n-grams."""
+    toks = tokens(F.col("text"))
+    cnt = F.size(toks)
+    grams = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    hashed = ex.select(
+        "doc_id", F.md5(F.encode(F.col("g"), "UTF-8")).alias("gh")
+    )
+    df_counts = hashed.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        hashed.join(df_counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias(
+                "n_dup_ngrams"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias(
+                "n_dup_ngrams"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_ngrams").cast("double")
+                    / F.nullif(F.col("n_ngrams").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_ngram_fraction"),
+        )
+    )
+
+
+def dup_ngram_fraction_sql(table: str = "documents", n: int = DUP_NGRAM_N) -> str:
+    """DuckDB mirror of :func:`dup_ngram_fraction` (same tokenization as
+    shingles_sql, positional n-grams, distinct-doc df)."""
+    toks = f"list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM {table}),
+arr AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= {n} THEN
+      list_transform(generate_series(1, len(tk) - {n - 1}),
+                     i -> array_to_string(tk[i:i+{n - 1}], ' '))
+    ELSE [] END AS grams
+  FROM t
+),
+ex AS (SELECT doc_id, md5(unnest(grams)) AS gh FROM arr),
+dfc AS (SELECT gh, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+pd AS (
+  SELECT e.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_ngrams
+  FROM ex e JOIN dfc USING (gh) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(pd.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+  round(coalesce(CAST(pd.n_dup_ngrams AS DOUBLE)
+                 / nullif(CAST(pd.n_ngrams AS DOUBLE), 0.0), 0.0), 6)
+    AS dup_ngram_fraction
+FROM {table} d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def drop_duplicated_lines(docs: DataFrame) -> DataFrame:
     """C4's corpus-level boilerplate scrub: rebuild each document with
     globally-duplicated lines removed (a line survives only if its hash

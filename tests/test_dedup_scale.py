@@ -212,3 +212,49 @@ def test_minhash_jaccard_estimate_bounds_and_exact_dup(spark):
     for r in rows:
         assert 0.0 <= r.est_jaccard <= 1.0
         assert r.d1 < r.d2
+
+
+def test_dup_ngram_fraction_inter_doc_only(spark):
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one here"),
+            (2, shared + " different ending words now"),
+            # within-doc repetition only: 5-gram repeated twice in ONE doc
+            # must NOT count (df counts distinct docs)
+            (3, "zeta eta theta iota kappa zeta eta theta iota kappa"),
+            (4, "too short"),   # < n tokens -> zero n-grams
+            (5, ""),            # empty -> zero n-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.dup_ngram_fraction(docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # docs 1/2: 5 positions each (9 tokens), exactly 1 shared position
+    assert out[1]["n_ngrams"] == 5 and out[1]["n_dup_ngrams"] == 1
+    assert out[1]["dup_ngram_fraction"] == 0.2
+    assert out[2]["n_dup_ngrams"] == 1
+    # doc 3 repeats its 5-gram internally but shares nothing across docs
+    assert out[3]["n_dup_ngrams"] == 0
+    assert out[4]["n_ngrams"] == 0 and out[4]["dup_ngram_fraction"] == 0.0
+    assert out[5]["n_ngrams"] == 0
+
+
+def test_new_dedup_ops_plan_shapes(spark):
+    """Scale posture: no cartesian products anywhere; the n-gram census
+    hashes in the scan stage so only 16-byte md5 keys shuffle."""
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with several words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    for df in (
+        dedup.dup_ngram_fraction(docs),
+        dedup.minhash_jaccard_estimate(docs),
+        dedup.fuzzy_dedup_new_batch(docs.limit(3), docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
