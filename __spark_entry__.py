@@ -349,6 +349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- text analysis (token counting, langid, fingerprint, scrub)
     q["token_stats"] = lambda s, d: textops.token_stats(_t(s, d, "documents"))
     q["langid_heuristic"] = lambda s, d: textops.langid_heuristic(_t(s, d, "documents"))
+    # declared-vs-detected language disagreement per source (crawl
+    # metadata health; decides which shards need re-detection)
+    q["lang_mismatch_by_source"] = lambda s, d: textops.lang_mismatch_by_source(
+        _t(s, d, "documents")
+    )
     q["doc_fingerprint"] = lambda s, d: textops.doc_fingerprint(_t(s, d, "documents"))
     q["scrub_pii"] = lambda s, d: textops.scrub_documents(_t(s, d, "documents"))
 
@@ -439,6 +444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
+    # dedup-audit readout: distribution of near-dup cluster sizes
+    q["dedup_cluster_sizes"] = lambda s, d: dedup.cluster_size_histogram(
+        _t(s, d, "documents")
+    )
     # fuzzy dedup as a selection mask: keep = min-id representative per
     # MinHash/LSH near-dup cluster (the fuzzy twin of curate's exact
     # min_by dedup and similarity.semantic_dedup)
@@ -528,6 +537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # -- similarity search over embeddings
+    # embedding-table health check (dim/norm/zero/NaN per vector)
+    q["embedding_qc"] = lambda s, d: similarity.embedding_qc(
+        _t(s, d, "embeddings")
+    )
     q["embedding_topk"] = lambda s, d: similarity.brute_force_topk(
         _t(s, d, "embeddings")
     )
@@ -939,6 +952,8 @@ SELECT doc_id, n_words, n_distinct_words,
 FROM f
 """
     o["langid_heuristic"] = textops.langid_heuristic_sql()
+    o["lang_mismatch_by_source"] = textops.lang_mismatch_by_source_sql()
+    o["embedding_qc"] = similarity.embedding_qc_sql()
     o["doc_fingerprint"] = (
         "SELECT doc_id, md5(text) AS fingerprint, "
         "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) "
@@ -1122,6 +1137,11 @@ reach(doc_id, cluster) AS (
 SELECT doc_id, min(cluster) AS cluster FROM reach GROUP BY doc_id
 """
     o["dedup_clusters"] = clusters_sql
+    o["dedup_cluster_sizes"] = f"""
+WITH labels AS ({clusters_sql}),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+"""
     o["fuzzy_dedup_keep"] = (
         f"SELECT doc_id, (cluster = doc_id) AS keep FROM ({clusters_sql})"
     )

@@ -504,6 +504,23 @@ def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     return labels.select("doc_id", "cluster")
 
 
+def cluster_size_histogram(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Dedup-audit readout: the distribution of near-dup cluster sizes
+    (how many clusters of size 1, 2, 3, ...). The first thing an
+    operator checks after a fuzzy-dedup run — a fat tail means template
+    spam or an LSH parameter problem; at crawl scale the largest
+    clusters get hand-reviewed before their representatives are kept.
+    Two tiny aggregations over the (doc_id, cluster) labels; text and
+    signatures are long gone by this stage."""
+    clusters = dedup_clusters(docs, max_iter=max_iter)
+    sizes = clusters.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
 def fuzzy_dedup_keep(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     """Fuzzy (MinHash/LSH) deduplication as a SELECTION MASK: every doc
     with a keep flag, keeping exactly the min-doc_id representative of

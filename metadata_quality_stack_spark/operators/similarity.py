@@ -47,6 +47,41 @@ def hyperplanes(
     return [[round(float(v), 6) for v in row] for row in h]
 
 
+def embedding_qc(embeddings: DataFrame) -> DataFrame:
+    """Embedding-table health check before any ANN/semantic-dedup run:
+    per-vector dimensionality, L2 norm, zero-vector and NaN flags. At
+    100 TB this is the cheap map-only pre-pass that catches truncated
+    Arrow batches (wrong dim), failed encoder shards (zero vectors),
+    and fp overflow (NaN) before they poison bucket assignment — every
+    flagged row is diagnosable by vec_id. Norm arithmetic is the same
+    left-fold double dot as the similarity family, so the readout is
+    engine-mirrorable bit-for-bit."""
+    norm = _norm(F.col("embedding"))
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        (norm == 0.0).alias("is_zero"),
+        F.exists("embedding", lambda x: F.isnan(x)).alias("has_nan"),
+    )
+
+
+def embedding_qc_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`embedding_qc` (self-length fold, not the
+    fixed-DIM dot_sql, so dim anomalies still get a correct norm)."""
+    sq = (
+        "list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"""
+SELECT vec_id, len(embedding) AS dim,
+  round(sqrt({sq}), 6) AS l2_norm,
+  (sqrt({sq}) = 0.0) AS is_zero,
+  (len(list_filter(embedding, x -> isnan(x))) > 0) AS has_nan
+FROM {table}
+"""
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:

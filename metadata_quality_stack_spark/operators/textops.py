@@ -42,9 +42,11 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def langid_heuristic(docs: DataFrame) -> DataFrame:
+def langid_heuristic(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-vote language-ID: hits per language set, argmax with
-    first-in-LANG_ORDER tiebreak (matches langid_heuristic_sql)."""
+    first-in-LANG_ORDER tiebreak (matches langid_heuristic_sql).
+    ``extra_cols`` are passed through unchanged (e.g. ``source`` for the
+    per-shard mismatch rollup)."""
     lows = F.transform(token_array(F.col("text")), lambda x: F.lower(x))
 
     def hits(sw: list[str]):
@@ -59,9 +61,45 @@ def langid_heuristic(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
+        *extra_cols,
         expr.alias("lang_pred"),
         best.alias("best_hits"),
     )
+
+
+def lang_mismatch_by_source(docs: DataFrame) -> DataFrame:
+    """Crawl-metadata health readout: per source, how often the declared
+    ``lang`` column disagrees with the detected language. Declared crawl
+    language metadata is notoriously unreliable; pipelines use this
+    per-shard rate to decide which sources need re-detection before the
+    lang-conditioned quality rules run. Map-only detection + one
+    groupBy(source) conditional agg (partials combine map-side); NULL
+    declared langs count as mismatches (null-safe inequality)."""
+    pred = langid_heuristic(docs, extra_cols=("source",))
+    mismatch = (~F.col("lang").eqNullSafe(F.col("lang_pred"))).cast("long")
+    return pred.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(mismatch).alias("n_mismatch"),
+        F.round(
+            F.sum(mismatch).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mismatch_rate"),
+    )
+
+
+def lang_mismatch_by_source_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`lang_mismatch_by_source`."""
+    pred = langid_heuristic_sql(table, extra_cols=("source",))
+    return f"""
+WITH pred AS ({pred})
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN lang IS DISTINCT FROM lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mismatch,
+  round(CAST(sum(CASE WHEN lang IS DISTINCT FROM lang_pred THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mismatch_rate
+FROM pred GROUP BY source
+"""
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
@@ -99,8 +137,11 @@ def _sql_list(items: list[str]) -> str:
     return "[" + ", ".join("'" + s + "'" for s in items) + "]"
 
 
-def langid_heuristic_sql(table: str = "documents") -> str:
+def langid_heuristic_sql(
+    table: str = "documents", extra_cols: tuple[str, ...] = ()
+) -> str:
     lows = _lows_sql()
+    extra = "".join(f", {c}" for c in extra_cols)
     score_exprs = {
         lang: f"len(list_filter(lows, x -> list_contains({_sql_list(sw)}, x)))"
         for lang, sw in config.STOPWORDS_BY_LANG.items()
@@ -111,10 +152,10 @@ def langid_heuristic_sql(table: str = "documents") -> str:
         f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_ORDER
     ) + " END"
     return f"""
-WITH t AS (SELECT doc_id, lang, {lows} AS lows FROM {table}),
-s AS (SELECT doc_id, lang, {sel} FROM t),
+WITH t AS (SELECT doc_id, lang{extra}, {lows} AS lows FROM {table}),
+s AS (SELECT doc_id, lang{extra}, {sel} FROM t),
 b AS (SELECT *, {best} AS best FROM s)
-SELECT doc_id, lang, {case} AS lang_pred, best AS best_hits FROM b
+SELECT doc_id, lang{extra}, {case} AS lang_pred, best AS best_hits FROM b
 """
 
 

@@ -267,3 +267,55 @@ def test_train_val_test_split_deterministic_across_runs(spark):
     a = sorted((r.doc_id, r.split) for r in sampling.train_val_test_split(docs).collect())
     b = sorted((r.doc_id, r.split) for r in sampling.train_val_test_split(docs).collect())
     assert a == b
+
+
+def test_lang_mismatch_by_source_null_safe(spark):
+    docs = spark.createDataFrame(
+        [
+            # declared en, English stopwords -> match
+            (1, "sA", "en", "the cat and the dog are in the house with them"),
+            # declared es, English text -> mismatch
+            (2, "sA", "es", "the cat and the dog are in the house with them"),
+            # NULL declared lang -> counts as mismatch (null-safe)
+            (3, "sB", None, "the cat and the dog are in the house with them"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {r.source: r.asDict() for r in textops.lang_mismatch_by_source(docs).collect()}
+    assert out["sA"]["n_docs"] == 2 and out["sA"]["n_mismatch"] == 1
+    assert out["sA"]["mismatch_rate"] == 0.5
+    assert out["sB"]["n_mismatch"] == 1 and out["sB"]["mismatch_rate"] == 1.0
+
+
+def test_embedding_qc_flags_hostile_vectors(spark):
+    from metadata_quality_stack_spark.operators import similarity
+
+    rows = [
+        (0, [3.0, 4.0], 0),            # norm 5
+        (1, [0.0, 0.0], 0),            # zero vector
+        (2, [float("nan"), 1.0], 0),   # NaN component
+        (3, [1.0, 2.0, 2.0], 0),       # wrong dim (3 vs 2)
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r.asDict() for r in similarity.embedding_qc(embs).collect()}
+    assert out[0]["l2_norm"] == 5.0 and not out[0]["is_zero"] and not out[0]["has_nan"]
+    assert out[1]["is_zero"] and out[1]["l2_norm"] == 0.0
+    assert out[2]["has_nan"]
+    assert out[3]["dim"] == 3 and out[3]["l2_norm"] == 3.0
+
+
+def test_cluster_size_histogram_counts(spark):
+    from metadata_quality_stack_spark.operators import dedup
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, dup),
+         (4, "pack my box with five dozen liquor jugs before noon today"),
+         (5, "short")],
+        "doc_id long, text string",
+    )
+    out = {r.cluster_size: r.n_clusters for r in dedup.cluster_size_histogram(docs).collect()}
+    # one cluster of 3 dups; doc 4 and short doc 5 are singletons
+    assert out == {3: 1, 1: 2}
