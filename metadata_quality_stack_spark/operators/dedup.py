@@ -252,35 +252,52 @@ def line_dup_stats(docs: DataFrame) -> DataFrame:
     that operates across the corpus rather than within a page.
 
     Shape: explode lines -> md5 -> df = countDistinct(doc) per hash (one
-    shuffle, map-side partial) -> hash join back -> per-doc rollup (second
-    shuffle on doc_id). Lines move as 16-byte hashes, never as text."""
-    lines = docs.select(
-        "doc_id", F.explode(F.split("text", "\n", -1)).alias("line")
-    ).filter(F.trim(F.col("line")) != "")
-    hashed = lines.select(
-        "doc_id", F.md5(F.encode(F.col("line"), "UTF-8")).alias("lh")
+    shuffle, map-side partial). Lines move as 16-byte hashes, never as
+    text. Like dup_ngram_fraction, the rollup avoids joining every line
+    position against the full df table: n_lines is recomputed map-only
+    (native size-of-filtered-split), and only positions whose hash is
+    DUPLICATED (df > 1) flow through the numerator join — the df=1
+    majority of a mostly-unique corpus never enters the second
+    exchange. Output keeps the original contract: one row per doc with
+    >= 1 non-blank line."""
+    n_lines_expr = F.size(
+        F.filter(
+            F.split("text", "\n", -1), lambda x: F.trim(x) != ""
+        )
+    ).cast("long")
+    hashed = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "\n", -1)).alias("line")
+        )
+        .filter(F.trim(F.col("line")) != "")
+        .select("doc_id", F.md5(F.encode(F.col("line"), "UTF-8")).alias("lh"))
     )
-    df_counts = hashed.groupBy("lh").agg(
-        F.countDistinct("doc_id").alias("df")
+    dup_hashes = (
+        hashed.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("lh")
     )
-    return (
-        hashed.join(df_counts, "lh")
+    n_dup = (
+        hashed.join(dup_hashes, "lh")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup_lines"),
-        )
-        .withColumn(
-            "dup_line_fraction",
-            F.round(
-                F.coalesce(
-                    F.col("n_dup_lines").cast("double")
-                    / F.nullif(F.col("n_lines").cast("double"), F.lit(0.0)),
-                    F.lit(0.0),
-                ),
-                6,
+        .agg(F.count("*").alias("n_dup_lines"))
+    )
+    base = docs.select("doc_id", n_lines_expr.alias("n_lines")).filter(
+        F.col("n_lines") > 0
+    )
+    return base.join(n_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_dup_lines", F.lit(0)).cast("long").alias("n_dup_lines"),
+        F.round(
+            F.coalesce(
+                F.col("n_dup_lines").cast("double")
+                / F.nullif(F.col("n_lines").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
             ),
-        )
+            6,
+        ).alias("dup_line_fraction"),
     )
 
 
@@ -303,9 +320,17 @@ def dup_ngram_fraction(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
 
     Shape: n-grams are hashed to 16-byte md5 IN THE SCAN STAGE, so the
     census shuffle moves hashes, never phrase text; df agg partials
-    combine map-side; join-back + per-doc rollup is the second/third
-    exchange, both on fixed-width keys — identical scale posture to
-    line_dup_stats. Docs with < n tokens report zero n-grams."""
+    combine map-side. The per-doc rollup deliberately does NOT join the
+    full position stream back to the full df table: the DENOMINATOR
+    (n-gram position count) is recomputed map-only from the token count
+    in a second scan, and only positions whose hash is in the
+    DUPLICATED set (df > 1 — the boilerplate minority) flow through the
+    numerator join. In a mostly-unique corpus that removes the dominant
+    df=1 traffic from the second exchange; a second map-only
+    scan+tokenize is far cheaper than shuffling every position twice.
+    Both join legs hash-partition on gh, so the scan+explode subtree is
+    a single ReusedExchange. Docs with < n tokens report zero
+    n-grams."""
     toks = tokens(F.col("text"))
     cnt = F.size(toks)
     grams = F.when(
@@ -315,41 +340,38 @@ def dup_ngram_fraction(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select("doc_id", F.explode(grams).alias("g"))
-    hashed = ex.select(
+    hashed = docs.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.md5(F.encode(F.col("g"), "UTF-8")).alias("gh")
     )
-    df_counts = hashed.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("df")
+    dup_hashes = (
+        hashed.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("gh")
     )
-    per_doc = (
-        hashed.join(df_counts, "gh")
+    n_dup = (
+        hashed.join(dup_hashes, "gh")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_ngrams"),
-            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias(
-                "n_dup_ngrams"
-            ),
-        )
+        .agg(F.count("*").alias("n_dup_ngrams"))
     )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
-            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias(
-                "n_dup_ngrams"
+    base = docs.select(
+        "doc_id",
+        F.greatest(cnt - (n - 1), F.lit(0)).cast("long").alias("n_ngrams"),
+    )
+    return base.join(n_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias(
+            "n_dup_ngrams"
+        ),
+        F.round(
+            F.coalesce(
+                F.col("n_dup_ngrams").cast("double")
+                / F.nullif(F.col("n_ngrams").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
             ),
-            F.round(
-                F.coalesce(
-                    F.col("n_dup_ngrams").cast("double")
-                    / F.nullif(F.col("n_ngrams").cast("double"), F.lit(0.0)),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("dup_ngram_fraction"),
-        )
+            6,
+        ).alias("dup_ngram_fraction"),
     )
 
 
@@ -396,10 +418,16 @@ def drop_duplicated_lines(docs: DataFrame) -> DataFrame:
     hashed = lines.withColumn(
         "lh", F.md5(F.encode(F.col("line"), "UTF-8"))
     )
-    df_counts = hashed.groupBy("lh").agg(
-        F.countDistinct("doc_id").alias("df")
+    # anti-join against the (small) duplicated-hash set instead of an
+    # inner join carrying a df for EVERY distinct line: the right side
+    # of the exchange shrinks from all-hashes to boilerplate-only
+    dup_hashes = (
+        hashed.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("lh")
     )
-    kept = hashed.join(df_counts, "lh").filter(F.col("df") == 1)
+    kept = hashed.join(dup_hashes, "lh", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
