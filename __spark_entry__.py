@@ -320,6 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["train_val_test_split"] = lambda s, d: sampling.train_val_test_split(
         _t(s, d, "documents")
     )
+    # pre-training budget table: docs + tokens per (split, lang)
+    q["corpus_token_budget"] = lambda s, d: sampling.corpus_token_budget(
+        _t(s, d, "documents")
+    )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
     # deterministic 50% sample -> per-source cap of 10
@@ -697,12 +701,14 @@ _PRIORITY = [
     "minhash_jaccard_estimate",  # new r3: signature-agreement pair verify
     "train_val_test_split",   # new r3: content-hash split (leakage guard)
     "dup_ngram_fraction",     # new r3: inter-doc duplicated-n-gram census
-    # (c) representatives of already-double-green families (the rest of
-    # the r1+r2-green set follows in dict order past the driver window;
-    # tools/check_gate.py covers them every session)
+    "lang_mismatch_by_source",  # new r3: declared-vs-detected lang health
+    # (c) representatives of double-green families whose code paths
+    # changed in r3 (array-free word count feeds quality_scores; the
+    # measured argmin formulation feeds curated_corpus). Everything else
+    # double-green follows in dict order past the driver window;
+    # tools/check_gate.py covers ALL queries every session.
     "quality_scores",
     "curated_corpus",
-    "exact_dedup",
 ]
 
 
@@ -925,6 +931,7 @@ SELECT doc_id, source FROM (
     )
     o["train_val_test_split"] = sampling.train_val_test_split_sql()
     o["dup_ngram_fraction"] = dedup.dup_ngram_fraction_sql()
+    o["corpus_token_budget"] = sampling.corpus_token_budget_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -37,6 +37,70 @@ def deterministic_sample(
     return df.filter(sample_bucket(F.col(id_col)) < rate_pct)
 
 
+def _content_split(val_pct: int, test_pct: int) -> tuple[F.Column, F.Column]:
+    """(bucket, split) expressions keyed on md5(text) — shared by the
+    per-doc assignment and the token-budget rollup."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 7), 16, 10
+        ).cast("long")
+        % SAMPLE_BUCKETS
+    )
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return b, split
+
+
+def corpus_token_budget(
+    docs: DataFrame, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """The pre-training budget table: documents and whitespace tokens per
+    (split, lang) — the first number anyone asks of a curated corpus
+    ("how many train tokens per language do we actually have?"). Built
+    on the same content-hash split as train_val_test_split, so the
+    numbers describe exactly the splits that ship. Map-only token count
+    + one partial-aggregated groupBy on a tiny (split, lang) key space."""
+    from metadata_quality_stack_spark.functions.text import token_array
+
+    _, split = _content_split(val_pct, test_pct)
+    per_doc = docs.select(
+        split.alias("split"),
+        "lang",
+        F.size(token_array(F.col("text"))).cast("long").alias("nt"),
+    )
+    return per_doc.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+
+
+def corpus_token_budget_sql(
+    table: str = "documents", val_pct: int = 5, test_pct: int = 5
+) -> str:
+    """DuckDB mirror of :func:`corpus_token_budget` (same md5 bucket and
+    tokenization as the rest of the gate)."""
+    trimmed = "regexp_replace(text, '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g')"
+    toks = (
+        f"CASE WHEN length({trimmed}) = 0 THEN [] "
+        f"ELSE string_split_regex({trimmed}, '[ \\t\\n\\r]+') END"
+    )
+    b = f"(('0x' || substr(md5(text), 1, 7))::BIGINT % {SAMPLE_BUCKETS})"
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {b} < {test_pct} THEN 'test'
+              WHEN {b} < {test_pct + val_pct} THEN 'val'
+              ELSE 'train' END AS split,
+         lang, len({toks}) AS nt
+  FROM {table}
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
 def train_val_test_split(
     docs: DataFrame, val_pct: int = 5, test_pct: int = 5
 ) -> DataFrame:
@@ -51,21 +115,13 @@ def train_val_test_split(
     sizes.
 
     Columns: doc_id, source, lang, bucket, split."""
-    b = (
-        F.conv(
-            F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 7), 16, 10
-        ).cast("long")
-        % SAMPLE_BUCKETS
-    )
+    b, split = _content_split(val_pct, test_pct)
     return docs.select(
         "doc_id",
         "source",
         "lang",
         b.alias("bucket"),
-        F.when(b < test_pct, F.lit("test"))
-        .when(b < test_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        split.alias("split"),
     )
 
 

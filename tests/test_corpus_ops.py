@@ -319,3 +319,50 @@ def test_cluster_size_histogram_counts(spark):
     out = {r.cluster_size: r.n_clusters for r in dedup.cluster_size_histogram(docs).collect()}
     # one cluster of 3 dups; doc 4 and short doc 5 are singletons
     assert out == {3: 1, 1: 2}
+
+
+def test_corpus_token_budget_matches_split_and_counts(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (i, "s", ["en", "es"][i % 2], f"one two three plus text {i}")
+            for i in range(100)
+        ]
+        + [(1000, "s", "en", ""), (1001, "s", "en", "   ")],  # zero tokens
+        "doc_id long, source string, lang string, text string",
+    )
+    budget = sampling.corpus_token_budget(docs).collect()
+    splits = sampling.train_val_test_split(docs).collect()
+    # totals reconcile with the per-doc assignment
+    assert sum(r.n_docs for r in budget) == 102
+    by_key = {(r.split, r.lang): r for r in budget}
+    from collections import Counter
+
+    expected = Counter((r.split, r.lang) for r in splits)
+    assert {k: v.n_docs for k, v in by_key.items()} == dict(expected)
+    # each counted doc contributes 6 tokens; blank docs contribute 0
+    total_tokens = sum(r.n_tokens for r in budget)
+    assert total_tokens == 100 * 6
+
+
+def test_split_bucket_matches_pure_python_md5(spark):
+    """The Spark content-hash bucket must equal the engine-neutral python
+    md5 formula for hostile inputs (unicode, whitespace, empty) — this is
+    what lets a driver-side tool recompute split membership without
+    Spark."""
+    from metadata_quality_stack_spark.operators import sampling
+    from tests.test_properties import py_split_bucket
+
+    texts = [
+        "", " ", "\n\t", "plain ascii", "acentuación española ñ",
+        "emoji 🎉 mix", "日本語のテキスト", "a" * 5000,
+        "null\x00byte", "trailing space ", " leading", "CRLF\r\nline",
+    ]
+    docs = spark.createDataFrame(
+        [(i, "s", "en", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {r.doc_id: r.bucket for r in sampling.train_val_test_split(docs).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == py_split_bucket(t), repr(t)

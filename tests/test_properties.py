@@ -103,3 +103,13 @@ def test_scrub_oracle_idempotent_and_token_stable(text):
 
     once = scrub_py(text)
     assert scrub_py(once) == once
+
+
+# ------------------------------------------------------- split bucket math
+def py_split_bucket(text: str) -> int:
+    """Pure-python mirror of sampling._content_split / the DuckDB SQL:
+    first 7 hex digits of md5(utf-8 text) mod 100. Exported for tests
+    that need driver-side recomputation of split membership."""
+    import hashlib
+
+    return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:7], 16) % 100
