@@ -1,0 +1,141 @@
+"""Persistent exact-dedup fingerprint index: the state behind
+incremental ingest.
+
+`operators/dedup.py:dedup_new_batch` answers "which of these new docs
+are already in the corpus" when the corpus is available as a DataFrame.
+In production the corpus is NOT re-scanned per crawl delta — the
+pipeline maintains a standing INDEX of content fingerprints and each
+batch runs: probe index -> keep unseen -> append the survivors'
+fingerprints. This module is that loop.
+
+Layout: one parquet table of 16-byte md5 fingerprints, partition-dirred
+by a hash-prefix bucket (`fp_bucket=<0..N>`). The bucket dirs bound
+per-append file counts (one file per bucket per batch, enforced by a
+pre-write repartition on the bucket column) and give `compact_index` a
+per-bucket unit of work. At 10^12 documents the index is ~16 TB of
+fingerprints — far too big to broadcast, exactly right for a
+shuffle-on-fingerprint anti-join; a production deploy stores it as an
+Iceberg table bucketed on the fingerprint (sources/bucketed.py is the
+in-sandbox demonstration of that shuffle-free layout).
+
+Correctness properties (tested in tests/test_dedup_index.py):
+
+* probe uses LEFT ANTI join — duplicate index rows (possible after a
+  mid-append crash, since parquet appends are not atomic) can never
+  multiply batch rows or change membership, so a partially-applied
+  append is safe to retry: re-ingesting the same batch is idempotent.
+* survivors are pinned with an eager localCheckpoint BEFORE the append,
+  so the returned DataFrame cannot silently re-probe the grown index.
+* `compact_index` rewrites each bucket dir with distinct fingerprints
+  via dynamic partition overwrite (same mechanism as the results sink).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FP_BUCKETS = 16
+
+
+def content_fingerprint() -> F.Column:
+    """md5 of the utf-8 text — the same fingerprint as exact_dedup /
+    dedup_new_batch, so index membership is engine-recomputable."""
+    return F.md5(F.encode(F.col("text"), "UTF-8"))
+
+
+def _bucket(fp: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(fp, 1, 2), 16, 10).cast("int") % FP_BUCKETS
+    )
+
+
+def _with_bucket(fps: DataFrame) -> DataFrame:
+    return fps.withColumn("fp_bucket", _bucket(F.col("fingerprint")))
+
+
+def build_index(docs: DataFrame, index_dir: str) -> None:
+    """Initialize the index from an existing corpus: distinct
+    fingerprints, one shuffle, one file per bucket dir."""
+    fps = _with_bucket(
+        docs.select(content_fingerprint().alias("fingerprint")).distinct()
+    )
+    (
+        fps.repartition("fp_bucket")
+        .write.mode("overwrite")
+        .partitionBy("fp_bucket")
+        .parquet(index_dir)
+    )
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.option("basePath", index_dir).parquet(index_dir)
+
+
+def ingest_batch(
+    spark: SparkSession, new_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """One ingest step: returns the batch docs that survive exact dedup
+    (first occurrence within the batch AND fingerprint absent from the
+    index), and appends exactly the survivors' fingerprints to the
+    index. Returned DataFrame is materialized (localCheckpoint) before
+    the append, so re-reading it after the index has grown is safe.
+
+    Columns: doc_id, fingerprint."""
+    batch = new_docs.select("doc_id", content_fingerprint().alias("fingerprint"))
+    first = batch.groupBy("fingerprint").agg(F.min("doc_id").alias("_first"))
+    batch_first = (
+        batch.join(first, "fingerprint")
+        .filter(F.col("doc_id") == F.col("_first"))
+        .select("doc_id", "fingerprint")
+    )
+    if os.path.isdir(index_dir):
+        idx = read_index(spark, index_dir).select("fingerprint")
+        survivors = batch_first.join(idx, "fingerprint", "left_anti")
+    else:
+        survivors = batch_first
+    survivors = survivors.localCheckpoint(eager=True)
+    (
+        _with_bucket(survivors.select("fingerprint"))
+        .repartition("fp_bucket")
+        .write.mode("append")
+        .partitionBy("fp_bucket")
+        .parquet(index_dir)
+    )
+    return survivors
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite every bucket dir to distinct fingerprints in one file —
+    the periodic maintenance that caps both file counts and the
+    duplicate rows a crashed append may have left. Dynamic partition
+    overwrite touches only buckets present in the read (all of them
+    here; at scale the job runs per-bucket on a schedule)."""
+    idx = read_index(spark, index_dir).select("fingerprint", "fp_bucket").distinct()
+    with _dynamic_overwrite(spark):
+        (
+            idx.repartition("fp_bucket")
+            .write.mode("overwrite")
+            .partitionBy("fp_bucket")
+            .parquet(index_dir)
+        )
+
+
+class _dynamic_overwrite:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", self.prev
+        )

@@ -1,0 +1,93 @@
+"""Persistent fingerprint-index maintenance: probe/append/compact loop
+(sources/dedup_index.py) — the stateful half of incremental exact dedup.
+"""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.sources import dedup_index as dix
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_loop_end_to_end(spark, tmp_path):
+    index_dir = str(tmp_path / "fp_index")
+    corpus = _docs(
+        spark,
+        [(1, "known text one"), (2, "known text two"), (3, "known text one")],
+    )
+    dix.build_index(corpus, index_dir)
+    # distinct fingerprints only: 2, not 3
+    assert dix.read_index(spark, index_dir).count() == 2
+
+    batch = _docs(
+        spark,
+        [
+            (10, "known text one"),   # dup of corpus -> dropped
+            (11, "fresh text a"),     # new -> kept
+            (12, "fresh text a"),     # within-batch dup -> dropped
+            (13, "fresh text b"),     # new -> kept
+        ],
+    )
+    kept = dix.ingest_batch(spark, batch, index_dir)
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 13]
+    # index grew by exactly the 2 surviving fingerprints
+    assert dix.read_index(spark, index_dir).count() == 4
+
+    # re-ingesting the SAME batch is idempotent: everything now known
+    again = dix.ingest_batch(spark, batch, index_dir)
+    assert again.count() == 0
+    assert dix.read_index(spark, index_dir).count() == 4
+
+
+def test_ingest_into_missing_index_bootstraps(spark, tmp_path):
+    index_dir = str(tmp_path / "fresh_index")
+    batch = _docs(spark, [(1, "a doc"), (2, "a doc"), (3, "other")])
+    kept = dix.ingest_batch(spark, batch, index_dir)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    assert dix.read_index(spark, index_dir).count() == 2
+
+
+def test_duplicate_index_rows_never_multiply_and_compact_heals(spark, tmp_path):
+    """A crashed append can leave the same fingerprint twice; the anti-
+    join probe must stay correct and compaction must restore one row per
+    fingerprint and one file per bucket dir."""
+    index_dir = str(tmp_path / "dup_index")
+    corpus = _docs(spark, [(1, "known text")])
+    dix.build_index(corpus, index_dir)
+    # simulate the partial retry: append the same fingerprint again
+    dup = dix.read_index(spark, index_dir).select("fingerprint")
+    (
+        dix._with_bucket(dup)
+        .write.mode("append")
+        .partitionBy("fp_bucket")
+        .parquet(index_dir)
+    )
+    assert dix.read_index(spark, index_dir).count() == 2  # duplicated
+
+    batch = _docs(spark, [(10, "known text"), (11, "fresh")])
+    kept = dix.ingest_batch(spark, batch, index_dir)
+    # anti-join: the duplicated index row drops doc 10 once, not twice,
+    # and cannot resurrect it
+    assert [r.doc_id for r in kept.collect()] == [11]
+
+    dix.compact_index(spark, index_dir)
+    idx = dix.read_index(spark, index_dir)
+    assert idx.count() == 2  # known + fresh, deduplicated
+    # one file per bucket dir after compaction
+    for bdir in glob.glob(f"{index_dir}/fp_bucket=*"):
+        files = [f for f in glob.glob(f"{bdir}/*.parquet")]
+        assert len(files) == 1, bdir
+
+
+def test_bucket_assignment_is_prefix_stable(spark):
+    """fp_bucket must derive from the fingerprint prefix alone so any
+    engine (or a bucket-pruned probe) can recompute the partition."""
+    docs = _docs(spark, [(i, f"text {i}") for i in range(50)])
+    fps = docs.select(dix.content_fingerprint().alias("fingerprint"))
+    out = dix._with_bucket(fps).collect()
+    for r in out:
+        assert r.fp_bucket == int(r.fingerprint[:2], 16) % dix.FP_BUCKETS
