@@ -552,6 +552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings")
     )
     q["ann_topk"] = lambda s, d: similarity.ann_topk(_t(s, d, "embeddings"))
+    # multi-probe LSH: one table, query probes its bucket + all
+    # Hamming-1 neighbors (the narrow-margin miss repair)
+    q["ann_topk_multiprobe"] = lambda s, d: similarity.ann_topk_multiprobe(
+        _t(s, d, "embeddings")
+    )
     q["ann_topk_multi"] = lambda s, d: similarity.ann_topk_multi(
         _t(s, d, "embeddings")
     )
@@ -1391,6 +1396,7 @@ WHERE a.vec_id <> 0
 ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
 """
     o["ivf_topk_trained"] = similarity.ivf_trained_sql()
+    o["ann_topk_multiprobe"] = similarity.ann_topk_multiprobe_sql()
     o["ann_topk"] = f"""
 WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),
 q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM wb WHERE vec_id = 0)

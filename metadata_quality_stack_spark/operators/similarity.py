@@ -143,6 +143,104 @@ def ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataF
     )
 
 
+def _flip_bit(bucket: Column, i: int, n_planes: int) -> Column:
+    """The bucket string with 0-based bit position ``i`` flipped."""
+    before = F.substring(bucket, 1, i)
+    bit = F.substring(bucket, i + 1, 1)
+    after = F.substring(bucket, i + 2, n_planes - i - 1)
+    return F.concat(
+        before,
+        F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+        after,
+    )
+
+
+def ann_topk_multiprobe(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = LSH_N_PLANES,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007 — public): ONE hash table,
+    but the query probes its own bucket plus every Hamming-distance-1
+    neighbor bucket (flip each sign bit once). A vector whose bucket
+    differs from the query's by a single narrow-margin hyperplane — the
+    dominant LSH miss mode — becomes a candidate without building L
+    extra tables or re-hashing the corpus.
+
+    Cost shape vs the alternatives on the 256-bucket test corpus:
+    single-bucket probe ~0.4% of the corpus (recall 0.03), multi-table
+    8x5 ~25% (recall 0.43), THIS: (n_planes+1)/2^n_planes ≈ 3.5% —
+    recall measured in tests/test_ann_recall.py and recorded in
+    BENCH/BASELINE.md. At 100 TB the corpus keeps exactly one bucket
+    per vector (storage unchanged, bucketable layout unchanged); only
+    the broadcast probe list grows by n_planes rows per query."""
+    wb = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    qrow = wb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("qb")
+    )
+    probes = qrow.select(
+        "q_emb",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[
+                    _flip_bit(F.col("qb"), i, n_planes)
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    return (
+        wb.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_topk_multiprobe_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = LSH_N_PLANES,
+) -> str:
+    """DuckDB mirror of :func:`ann_topk_multiprobe` (same bucket bits,
+    same Hamming-1 probe set)."""
+    bucket = lsh_bucket_sql("embedding")
+    cos = cosine_sql("embedding", "q_emb")
+    flipped = (
+        f"substr(qb, 1, i) || "
+        f"(CASE WHEN substr(qb, i + 1, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(qb, i + 2, {n_planes} - i - 1)"
+    )
+    return f"""
+WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM {table}),
+q AS (SELECT embedding AS q_emb, bucket AS qb FROM wb
+      WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT q_emb, qb AS probe_bucket FROM q
+  UNION ALL
+  SELECT q_emb, {flipped} AS probe_bucket
+  FROM q, generate_series(0, {n_planes - 1}) AS t(i)
+)
+SELECT vec_id, label, round({cos}, 6) AS cos_sim
+FROM wb JOIN probes ON wb.bucket = probes.probe_bucket
+WHERE vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
 ANN_N_TABLES = 8
 ANN_MULTI_PLANES = 5
 
