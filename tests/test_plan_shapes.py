@@ -142,3 +142,21 @@ def test_dim_join_broadcasts(spark):
     )
     plan = plan_str(joined.groupBy("n_name").count())
     assert "BroadcastHashJoin" in plan
+
+
+def test_round3_readouts_plan_shapes(spark):
+    """The newest lineage/split readouts keep their claimed shapes:
+    per-row ops are Exchange-free; single-agg rollups pay at most the
+    one aggregation exchange (+ AQE's single-partition read)."""
+    from metadata_quality_stack_spark.operators import sampling, similarity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # map-only: content-hash split assignment and embedding QC
+    for df in (sampling.train_val_test_split(docs), similarity.embedding_qc(embs)):
+        assert "Exchange" not in plan_str(df), df.columns
+
+    # one aggregation exchange: token budget (tiny (split, lang) keys)
+    budget_plan = plan_str(sampling.corpus_token_budget(docs), mode="simple")
+    assert budget_plan.count("Exchange hashpartitioning") == 1, budget_plan
