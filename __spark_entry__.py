@@ -23,6 +23,8 @@ from metadata_quality_stack_spark.operators import (
     analytics,
     contamination,
     dedup,
+    dsir,
+    gopher,
     multimodal,
     sampling,
     similarity,
@@ -322,6 +324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # pre-training budget table: docs + tokens per (split, lang)
     q["corpus_token_budget"] = lambda s, d: sampling.corpus_token_budget(
+        _t(s, d, "documents")
+    )
+    # DSIR importance resampling (arXiv:2302.03169): hashed-n-gram log
+    # importance weights vs the target-source token distribution, and the
+    # deterministic Gumbel-top-k selection they drive
+    q["dsir_logweights"] = lambda s, d: dsir.dsir_logweights(
+        _t(s, d, "documents")
+    )
+    q["dsir_sample"] = lambda s, d: dsir.dsir_sample(_t(s, d, "documents"))
+    # full Gopher repetition suite (arXiv:2112.11446 Table A1): 12
+    # per-document duplication signals, map-only (zero Exchange)
+    q["gopher_repetition"] = lambda s, d: gopher.gopher_repetition(
         _t(s, d, "documents")
     )
 
@@ -668,7 +682,6 @@ _PRIORITY = [
     "drop_duplicated_lines",
     "dedup_clusters",
     "fuzzy_dedup_keep",       # new r3: fuzzy selection mask
-    "ngram_jaccard_pairs",
     "ngram_jaccard_pruned",
     "media_decode",
     "media_frame_sample",
@@ -677,7 +690,6 @@ _PRIORITY = [
     "ann_topk",
     "ann_topk_multi",
     "embedding_near_dup",
-    "ivf_topk",
     "ivf_cell_histogram",
     "semantic_dedup",
     "decontaminate",
@@ -707,13 +719,16 @@ _PRIORITY = [
     "train_val_test_split",   # new r3: content-hash split (leakage guard)
     "dup_ngram_fraction",     # new r3: inter-doc duplicated-n-gram census
     "lang_mismatch_by_source",  # new r3: declared-vs-detected lang health
-    # (c) representatives of double-green families whose code paths
-    # changed in r3 (array-free word count feeds quality_scores; the
-    # measured argmin formulation feeds curated_corpus). Everything else
-    # double-green follows in dict order past the driver window;
-    # tools/check_gate.py covers ALL queries every session.
+    "dsir_logweights",        # new r3: DSIR hashed-n-gram importance weights
+    "dsir_sample",            # new r3: deterministic Gumbel-top-k selection
+    "gopher_repetition",      # new r3: full 12-signal repetition suite
+    # (c) representative of a double-green family whose code path
+    # changed in r3 (array-free word count feeds quality_scores).
+    # Everything else double-green (incl. ngram_jaccard_pairs and
+    # ivf_topk, green in r01, and curated_corpus, green in r02) follows
+    # in dict order past the driver window; tools/check_gate.py covers
+    # ALL queries every session.
     "quality_scores",
-    "curated_corpus",
 ]
 
 
@@ -937,6 +952,9 @@ SELECT doc_id, source FROM (
     o["train_val_test_split"] = sampling.train_val_test_split_sql()
     o["dup_ngram_fraction"] = dedup.dup_ngram_fraction_sql()
     o["corpus_token_budget"] = sampling.corpus_token_budget_sql()
+    o["dsir_logweights"] = dsir.dsir_logweights_sql()
+    o["dsir_sample"] = dsir.dsir_sample_sql()
+    o["gopher_repetition"] = gopher.gopher_repetition_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "
