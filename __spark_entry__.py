@@ -338,6 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gopher_repetition"] = lambda s, d: gopher.gopher_repetition(
         _t(s, d, "documents")
     )
+    # production twin: one Arrow-batched pandas UDF, integer-exact-equal
+    # (same oracle SQL; parity-tested in tests/test_gopher.py)
+    q["gopher_repetition_fast"] = lambda s, d: gopher.gopher_repetition_fast(
+        _t(s, d, "documents")
+    )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
     # deterministic 50% sample -> per-source cap of 10
@@ -955,6 +960,7 @@ SELECT doc_id, source FROM (
     o["dsir_logweights"] = dsir.dsir_logweights_sql()
     o["dsir_sample"] = dsir.dsir_sample_sql()
     o["gopher_repetition"] = gopher.gopher_repetition_sql()
+    o["gopher_repetition_fast"] = gopher.gopher_repetition_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -51,6 +51,10 @@ equivalent.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -225,6 +229,97 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
             )
         )
     return st3.select(*out)
+
+
+_FAST_SCHEMA = (
+    "n_lines long, dup_line_frac_micros long, "
+    "dup_line_char_frac_micros long, dup_para_frac_micros long, "
+    "dup_para_char_frac_micros long, "
+    + ", ".join(f"top{n}gram_char_frac_micros long" for n in TOP_NS)
+    + ", "
+    + ", ".join(f"dup{n}gram_char_frac_micros long" for n in DUP_NS)
+)
+
+
+def _py_frac(num: int, den: int) -> int:
+    """Python twin of _frac_micros: one double division, half-away
+    rounding (Python's round() is banker's — do NOT use it)."""
+    if den == 0:
+        return 0
+    import math
+
+    x = float(MICROS) * num / den
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _py_doc_signals(text: str) -> list[int]:
+    """All 12 signals for one document — same semantics as the column
+    version (Counter replaces sorted-run marking; identical integers)."""
+    from collections import Counter
+
+    out = []
+    for sep in ("\n", "\n\n"):
+        segs = [p.strip(" \t\r") for p in text.split(sep)]
+        segs = [p for p in segs if p]
+        cnt = Counter(segs)
+        n = len(segs)
+        dup_n = sum(c - 1 for c in cnt.values())
+        dup_chars = sum((c - 1) * len(s) for s, c in cnt.items())
+        tot_chars = sum(c * len(s) for s, c in cnt.items())
+        if sep == "\n":
+            out.append(n)
+        out.append(_py_frac(dup_n, n))
+        out.append(_py_frac(dup_chars, tot_chars))
+    import re
+
+    ws = [
+        t.lower()
+        for t in re.split(r"[ \t\n\r]+", text.strip(" \t\n\r"))
+        if t
+    ]
+    tops, dups = [], []
+    for n in TOP_NS + DUP_NS:
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        cnt = Counter(grams)
+        tot = sum(c * len(g) for g, c in cnt.items())
+        if n in TOP_NS:
+            if cnt:
+                best_c = max(cnt.values())
+                g = min(k for k, c in cnt.items() if c == best_c)
+                tops.append(_py_frac(best_c * len(g), tot))
+            else:
+                tops.append(0)
+        else:
+            dup_chars = sum((c - 1) * len(g) for g, c in cnt.items())
+            dups.append(_py_frac(dup_chars, tot))
+    return out + tops + dups
+
+
+def gopher_repetition_fast(docs: DataFrame) -> DataFrame:
+    """Production twin of :func:`gopher_repetition`: one Arrow-batched
+    iterator pandas UDF computing all 12 signals per batch. The column
+    version is the DuckDB-mirrorable gate variant; interpreted HOF eval
+    costs ~7.5 ms/doc where the Python Counter pass costs a fraction of
+    that (measured in tests/test_gopher.py::test_fast_variant) — same
+    trade the repo makes for simhash/simhash_fast. Map-only: text
+    crosses the Arrow pipe once, zero Exchange. Results are integer-
+    exact-equal to the column version (parity-tested; tokenization is
+    the same [ \\t\\n\\r]+ split as functions/text.token_array, and
+    str.lower matches Java toLowerCase on the ASCII/Latin corpus
+    contract shared with functions/langid.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cols = [c.split(" ")[0] for c in _FAST_SCHEMA.split(", ")]
+
+    @pandas_udf(_FAST_SCHEMA)
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in it:
+            rows = [_py_doc_signals(t if t is not None else "") for t in texts]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(
+        "doc_id", _udf(F.col("text")).alias("g")
+    ).select("doc_id", "g.*")
 
 
 # ---------------------------------------------------------------- SQL mirror

@@ -112,3 +112,25 @@ def test_plan_is_map_only(docs, capsys):
     plan = capsys.readouterr().out
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_fast_variant_parity_and_plan(spark, docs, capsys):
+    """The pandas-UDF production twin must be integer-exact-equal to the
+    column version — on the hostile inline rows AND the sf0.001 corpus —
+    and stay map-only (one Arrow crossing, no Exchange)."""
+    slow = {r["doc_id"]: r.asDict() for r in gopher.gopher_repetition(docs).collect()}
+    fast = {r["doc_id"]: r.asDict() for r in gopher.gopher_repetition_fast(docs).collect()}
+    assert fast == slow
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = gopher.gopher_repetition(corpus).toPandas().sort_values("doc_id")
+    b = gopher.gopher_repetition_fast(corpus).toPandas().sort_values("doc_id")
+    assert (a.reset_index(drop=True) == b[a.columns].reset_index(drop=True)).all().all()
+
+    df = gopher.gopher_repetition_fast(corpus)
+    df.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "Exchange" not in plan
+    # exactly one Arrow crossing (node appears once in the plan tree,
+    # once in the formatted detail section)
+    assert plan.count("ArrowEvalPython (") == 1
