@@ -50,6 +50,29 @@ def token_array(text: Column) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined overlapping word n-grams, [] when fewer than n
+    tokens. Built as zip_with over n shifted slices: HOF ARGUMENTS are
+    evaluated once per row, so this is O(T*n) even when ``toks`` is an
+    inline (non-materialized) expression. The transform-with-
+    element_at/slice-inside-the-lambda formulation re-evaluates the
+    whole ``toks`` subtree once per element under Spark's interpreted
+    HOF eval — O(T^2) per document, measured as a ~100x slowdown on the
+    repetition suite before this helper existed."""
+    size = F.size(toks)
+    m = size - (n - 1)  # gram count when size >= n
+    grams = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(size >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def chars_in_set(text: Column, chars: str) -> Column:
     """Number of characters of ``text`` in ``chars`` — translate-based
     (single table-lookup pass, ~10x cheaper than a regex strip; the 100 TB

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from metadata_quality_stack_spark.functions.text import token_array as tokens
+from metadata_quality_stack_spark.functions.text import word_ngrams
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -25,18 +26,11 @@ SHINGLE_N = 3
 
 
 def _shingles(text_col):
-    """Distinct 3-word shingles (space-joined), [] when < 3 tokens."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    return F.when(
-        n >= SHINGLE_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct 3-word shingles (space-joined), [] when < 3 tokens.
+    zip_with-over-slices (functions/text.word_ngrams), not transform-
+    with-slice-inside-the-lambda — the latter re-tokenizes per element
+    under interpreted HOF eval (O(T^2), the gopher.py lesson)."""
+    return F.array_distinct(word_ngrams(tokens(text_col), SHINGLE_N))
 
 
 def shingles_sql(text: str = "text") -> str:
@@ -331,15 +325,7 @@ def dup_ngram_fraction(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
     Both join legs hash-partition on gh, so the scan+explode subtree is
     a single ReusedExchange. Docs with < n tokens report zero
     n-grams."""
-    toks = tokens(F.col("text"))
-    cnt = F.size(toks)
-    grams = F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(tokens(F.col("text")), n)
     hashed = docs.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.md5(F.encode(F.col("g"), "UTF-8")).alias("gh")
     )
@@ -356,7 +342,9 @@ def dup_ngram_fraction(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
     )
     base = docs.select(
         "doc_id",
-        F.greatest(cnt - (n - 1), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.greatest(
+            F.size(tokens(F.col("text"))) - (n - 1), F.lit(0)
+        ).cast("long").alias("n_ngrams"),
     )
     return base.join(n_dup, "doc_id", "left").select(
         "doc_id",

@@ -58,7 +58,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metadata_quality_stack_spark.functions.text import token_array
+from metadata_quality_stack_spark.functions.text import (
+    token_array,
+    word_ngrams,
+)
 from metadata_quality_stack_spark.operators.textops import _lows_sql
 
 TOP_NS = (2, 3, 4)
@@ -88,17 +91,9 @@ def _segments(text: Column, sep: str) -> Column:
 
 
 def _sorted_grams(ws: Column, n: int) -> Column:
-    """Sorted overlapping word n-grams (space-joined). ``ws`` MUST be a
-    materialized column: the lambda slices it per element (O(n) on a
-    bound reference)."""
-    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
-        F.array_sort(
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                lambda i: F.array_join(F.slice(ws, i, n), " "),
-            )
-        )
-    )
+    """Sorted overlapping word n-grams (space-joined), via the shared
+    zip_with-over-slices builder (O(T*n) per row)."""
+    return F.array_sort(word_ngrams(ws, n))
 
 
 def _rep_chars(s: Column) -> Column:

@@ -18,6 +18,7 @@ from metadata_quality_stack_spark.functions.text import (
     chars_matching,
     safe_div,
     token_array,
+    word_ngrams,
 )
 from metadata_quality_stack_spark.functions.text import WS_CLASS
 
@@ -218,14 +219,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     the hot-path repetition guard is line_uniqueness in the rule engine.
     Docs with < 2 tokens report zero bigrams."""
     lows = F.transform(token_array(F.col("text")), lambda x: F.lower(x))
-    n = F.size(lows)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(lows, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = word_ngrams(lows, 2)
     ex = docs.select("doc_id", F.explode_outer(bigrams).alias("bg"))
     counts = (
         ex.filter(F.col("bg").isNotNull())
