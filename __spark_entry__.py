@@ -343,6 +343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gopher_repetition_fast"] = lambda s, d: gopher.gopher_repetition_fast(
         _t(s, d, "documents")
     )
+    # deterministic global shuffle into training shards (salted-md5
+    # shard + within-shard order; one exchange, per-shard sort)
+    q["shuffle_shards"] = lambda s, d: sampling.shuffle_shards(
+        _t(s, d, "documents")
+    )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
     # deterministic 50% sample -> per-source cap of 10
@@ -961,6 +966,7 @@ SELECT doc_id, source FROM (
     o["dsir_sample"] = dsir.dsir_sample_sql()
     o["gopher_repetition"] = gopher.gopher_repetition_sql()
     o["gopher_repetition_fast"] = gopher.gopher_repetition_sql()
+    o["shuffle_shards"] = sampling.shuffle_shards_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -365,3 +365,57 @@ c AS (
 SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy_idx
 FROM c WHERE n_copies >= 1
 """
+
+
+N_SHUFFLE_SHARDS = 8
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = N_SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards — the step that
+    defeats crawl ordering (domain runs, recency runs) before sequence
+    packing, without rand(): shard and within-shard order both derive
+    from md5 of the doc id under a dedicated salt, so the exact same
+    shard layout reproduces across runs, engines, and cluster sizes,
+    and is independent of the sample/split buckets (different salt).
+
+    Scale shape: ONE hash exchange on shard, then a per-shard sort. The
+    window partitions by shard, so n_shards bounds parallelism — at
+    100 TB size n_shards to the target training-file count (thousands),
+    keeping each shard's sort a few GB. A writer composes this as
+    repartition(n_shards, shard) + sortWithinPartitions(shuffle_key)
+    + partitionBy(shard), one file per shard; `pos` is emitted here so
+    the gate can hash the ORDER itself, not just membership.
+
+    Columns: doc_id, shard, shuffle_key, pos."""
+    key = F.md5(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 7), 16, 10).cast("long") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", shard.alias("shard"), key.alias("shuffle_key")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def shuffle_shards_sql(
+    table: str = "documents", n_shards: int = N_SHUFFLE_SHARDS
+) -> str:
+    """DuckDB mirror of :func:`shuffle_shards` (same salted md5)."""
+    key = f"md5('shuffle:' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH k AS (
+  SELECT doc_id, {key} AS shuffle_key,
+         (('0x' || substr({key}, 1, 7))::BIGINT % {n_shards}) AS shard
+  FROM {table}
+)
+SELECT doc_id, shard, shuffle_key,
+       CAST(row_number() OVER (
+            PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT)
+       AS pos
+FROM k
+"""

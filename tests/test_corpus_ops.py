@@ -4,7 +4,12 @@ census (term_stats), SemDeDup-style semantic dedup."""
 import pytest
 from pyspark.sql import functions as F
 
-from metadata_quality_stack_spark.operators import contamination, similarity, textops
+from metadata_quality_stack_spark.operators import (
+    contamination,
+    sampling,
+    similarity,
+    textops,
+)
 
 
 def _docs(spark, rows):
@@ -366,3 +371,34 @@ def test_split_bucket_matches_pure_python_md5(spark):
     out = {r.doc_id: r.bucket for r in sampling.train_val_test_split(docs).collect()}
     for i, t in enumerate(texts):
         assert out[i] == py_split_bucket(t), repr(t)
+
+
+def test_shuffle_shards_deterministic_cover_and_order(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s") for i in range(200)],
+        "doc_id long, text string, lang string, source string",
+    )
+    a = sampling.shuffle_shards(docs).collect()
+    b = sampling.shuffle_shards(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every doc exactly once; positions are 1..n contiguous per shard
+    assert sorted(r.doc_id for r in a) == list(range(200))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(sampling.N_SHUFFLE_SHARDS))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r.shuffle_key, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+    # the shuffle breaks id order: adjacent ids land in different spots
+    first_shard = {r.doc_id: r.shard for r in a}
+    assert len({first_shard[i] for i in range(8)}) > 1
+
+
+def test_shuffle_shards_single_exchange(spark, capsys):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sampling.shuffle_shards(docs).explain("formatted")
+    plan = capsys.readouterr().out
+    assert plan.count("Exchange (") == 1
