@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from metadata_quality_stack_spark import config
 from metadata_quality_stack_spark.operators import (
     analytics,
+    classifier,
     contamination,
     dedup,
     dsir,
@@ -346,6 +347,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic global shuffle into training shards (salted-md5
     # shard + within-shard order; one exchange, per-shard sort)
     q["shuffle_shards"] = lambda s, d: sampling.shuffle_shards(
+        _t(s, d, "documents")
+    )
+    # CCNet/LLaMA-style trained quality classifier (logistic regression
+    # over hashed n-grams, K bounded-key gradient rounds; the oracle
+    # replays the whole fit in chained CTEs)
+    q["quality_classifier_weights"] = lambda s, d: classifier.classifier_weights(
+        _t(s, d, "documents")
+    )
+    q["quality_classifier_scores"] = lambda s, d: classifier.classifier_scores(
         _t(s, d, "documents")
     )
 
@@ -967,6 +977,8 @@ SELECT doc_id, source FROM (
     o["gopher_repetition"] = gopher.gopher_repetition_sql()
     o["gopher_repetition_fast"] = gopher.gopher_repetition_sql()
     o["shuffle_shards"] = sampling.shuffle_shards_sql()
+    o["quality_classifier_weights"] = classifier.classifier_weights_sql()
+    o["quality_classifier_scores"] = classifier.classifier_scores_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -1,0 +1,209 @@
+"""Distributed trained quality classifier: logistic regression over
+hashed bag-of-n-grams, the CCNet / GPT-3-appendix / LLaMA
+"looks-like-the-target-domain" filter (all public: Wenzek et al.
+arXiv:1911.00359 §4.3; Brown et al. arXiv:2005.14165 App. A; Touvron et
+al. arXiv:2302.13971 §2) re-expressed as Spark dataflow. Complements
+[[dsir]]: DSIR soft-weights documents toward the target distribution,
+this trains a discriminative model and hard-scores them.
+
+Feature space and labels are shared with DSIR: hashed unigram+bigram
+buckets (dsir.feature_buckets, 256 buckets + 1 bias slot) and
+``source IN TARGET_SOURCES`` as the positive class — the "treat
+curated sources as the positive set, the raw crawl as negative"
+construction all three papers use.
+
+Training = full-batch gradient descent, K rounds. Per round:
+
+* SCORING is map-only — fold each document's bucket array over the
+  broadcast-literal weight table (same shape as dsir_logweights).
+* The GRADIENT is one bounded-key aggregation: explode bucket ids with
+  the per-document residual attached, groupBy(bucket) — map-side
+  partial aggregation means the exchange moves O(257 x partitions)
+  rows per round, never O(total tokens). 257 sums come back to the
+  driver (exactly the Lloyd-IVF centroid pattern,
+  similarity.ivf_train), the weight update happens there, and the new
+  weights re-enter the plan as literals.
+
+So a K-round fit is K tiny-shuffle jobs over however many petabytes the
+corpus is, with driver state of 257 longs — the architecture a
+1000-executor fit wants.
+
+Cross-engine exactness (the gate problem for iterative float training):
+distributed float SUMS are addition-order-dependent, so nothing sums
+doubles across rows. Weights live in integer MICROS; the per-document
+sigmoid is one double exp() from an integer-micro logit (bit-identical
+in both engines); the residual is immediately rounded half-away to
+integer micros; gradient sums are therefore BIGINT and exact in any
+order; the driver-side update rounds once more. The DuckDB oracle
+replays ALL K rounds in chained CTEs (classifier_weights_sql) and
+hash-matches the final weight table and the per-document scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import dsir
+from metadata_quality_stack_spark.operators.dsir import (
+    MICROS,
+    N_BUCKETS,
+    TARGET_SOURCES,
+    _round_half_away,
+)
+
+BIAS = N_BUCKETS  # bucket id 256 appended once per doc
+N_WEIGHTS = N_BUCKETS + 1
+TRAIN_ROUNDS = 3
+LR_MICROS_PER_UNIT = 2.0  # plain GD step on the mean gradient
+
+
+def _features(text: F.Column) -> F.Column:
+    """dsir hashed uni+bigram buckets + the constant bias bucket."""
+    return F.concat(
+        dsir.feature_buckets(text), F.array(F.lit(BIAS).cast("bigint"))
+    )
+
+
+def _score_micros(feats: F.Column, w_micros: list[int]) -> F.Column:
+    """Map-only logit: fold the doc's bucket ids over the literal
+    weight array (BIGINT micros, order-free)."""
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in w_micros])
+    return F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+    )
+
+
+def _label(source: F.Column) -> F.Column:
+    return source.isin(*TARGET_SOURCES).cast("int")
+
+
+def _resid_micros(score_micros: F.Column, y: F.Column) -> F.Column:
+    """round((sigmoid(score) - y) * 1e6) — the only float step, one
+    exp() per doc per round, then straight back to integer micros."""
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-score_micros.cast("double") / F.lit(float(MICROS)))
+    )
+    return F.round((p - y.cast("double")) * MICROS, 0).cast("long")
+
+
+def train_weights(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> list[int]:
+    """K rounds of full-batch GD. Returns N_WEIGHTS integer micros.
+    Each round is ONE Spark job whose shuffle is 257 keys; the weight
+    state (257 longs) round-trips through the driver like IVF
+    centroids."""
+    n_docs = docs.count()
+    w = [0] * N_WEIGHTS
+    base = docs.select(
+        _features(F.col("text")).alias("bs"),
+        _label(F.col("source")).alias("y"),
+    )
+    for _ in range(rounds):
+        r = _resid_micros(_score_micros(F.col("bs"), w), F.col("y"))
+        grad_rows = (
+            base.select(r.alias("r"), F.explode(F.col("bs")).alias("b"))
+            .groupBy("b")
+            .agg(F.sum("r").alias("g"))
+            .collect()
+        )
+        grads = {int(row["b"]): int(row["g"]) for row in grad_rows}
+        w = [
+            w[j]
+            - _round_half_away(
+                LR_MICROS_PER_UNIT * grads.get(j, 0) / n_docs
+            )
+            for j in range(N_WEIGHTS)
+        ]
+    return w
+
+
+def classifier_weights(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> DataFrame:
+    """Gate readout of the trained model: (bucket, w_micros),
+    N_WEIGHTS rows. The training collects happen eagerly (like
+    ivf_train); the returned frame is a tiny local relation."""
+    w = train_weights(docs, rounds)
+    return docs.sparkSession.createDataFrame(
+        [(j, int(w[j])) for j in range(N_WEIGHTS)],
+        "bucket long, w_micros long",
+    )
+
+
+def classifier_scores(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> DataFrame:
+    """Per-document logit + prediction under the trained weights —
+    the production keep/drop scoring pass, MAP-ONLY (plan-asserted):
+    one fold over the bucket array against the broadcast-literal
+    weight table, no joins, no shuffles.
+
+    Columns: doc_id, label, score_micros, pred."""
+    w = train_weights(docs, rounds)
+    s = _score_micros(_features(F.col("text")), w)
+    return docs.select(
+        "doc_id",
+        _label(F.col("source")).cast("long").alias("label"),
+        s.alias("score_micros"),
+        (s > 0).cast("long").alias("pred"),
+    )
+
+
+# ---------------------------------------------------------------- SQL mirrors
+def _weights_cte(table: str, rounds: int) -> str:
+    """Chained-CTE replay of the full K-round fit (the ivf_trained_sql
+    pattern): feats -> w0 (zeros) -> per round (scores, residuals,
+    grads, updated weights)."""
+    feats = dsir._feats_sql().format(table=table)
+    parts = [
+        f"{feats}, "
+        "fx AS (SELECT doc_id, "
+        f"list_concat(bs, [{BIAS}::BIGINT]) AS bs, "
+        f"(source IN {tuple(TARGET_SOURCES)})::INT AS y, "
+        "source FROM feats), "
+        "n AS (SELECT count(*) AS n_docs FROM fx), "
+        "w0 AS (SELECT unnest(range(0, "
+        f"{N_WEIGHTS})) AS b, 0::BIGINT AS w)"
+    ]
+    for t in range(rounds):
+        prev, cur = f"w{t}", f"w{t + 1}"
+        parts.append(
+            f"s{t} AS (SELECT f.doc_id, f.y, sum(w.w) AS score "
+            f"FROM (SELECT doc_id, y, unnest(bs) AS b FROM fx) f "
+            f"JOIN {prev} w USING (b) GROUP BY f.doc_id, f.y), "
+            f"r{t} AS (SELECT doc_id, CAST(round((1.0 / (1.0 + "
+            f"exp(-(score / {MICROS}.0))) - y) * {MICROS}) AS BIGINT) "
+            f"AS r FROM s{t}), "
+            f"g{t} AS (SELECT f.b, sum(r.r) AS g FROM "
+            "(SELECT doc_id, unnest(bs) AS b FROM fx) f "
+            f"JOIN r{t} r USING (doc_id) GROUP BY f.b), "
+            f"{cur} AS (SELECT w.b, w.w - CAST(round("
+            f"{LR_MICROS_PER_UNIT} * coalesce(g.g, 0) / n.n_docs) "
+            f"AS BIGINT) AS w FROM {prev} w LEFT JOIN g{t} g "
+            "USING (b), n)"
+        )
+    return ",\n".join(parts)
+
+
+def classifier_weights_sql(
+    table: str = "documents", rounds: int = TRAIN_ROUNDS
+) -> str:
+    # _feats_sql already opens the WITH clause
+    return (
+        f"{_weights_cte(table, rounds)}\n"
+        f"SELECT b AS bucket, w AS w_micros FROM w{rounds}"
+    )
+
+
+def classifier_scores_sql(
+    table: str = "documents", rounds: int = TRAIN_ROUNDS
+) -> str:
+    return f"""
+{_weights_cte(table, rounds)},
+final AS (SELECT f.doc_id, f.y, sum(w.w) AS score
+          FROM (SELECT doc_id, y, unnest(bs) AS b FROM fx) f
+          JOIN w{rounds} w USING (b) GROUP BY f.doc_id, f.y)
+SELECT doc_id, y::BIGINT AS label, score::BIGINT AS score_micros,
+       (score > 0)::BIGINT AS pred
+FROM final
+"""
