@@ -41,8 +41,6 @@ hash-matches the final weight table and the per-document scores.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
