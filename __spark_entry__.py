@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_classifier_scores"] = lambda s, d: classifier.classifier_scores(
         _t(s, d, "documents")
     )
+    q["quality_classifier_confusion"] = (
+        lambda s, d: classifier.classifier_confusion(_t(s, d, "documents"))
+    )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
     # deterministic 50% sample -> per-source cap of 10
@@ -979,6 +982,7 @@ SELECT doc_id, source FROM (
     o["shuffle_shards"] = sampling.shuffle_shards_sql()
     o["quality_classifier_weights"] = classifier.classifier_weights_sql()
     o["quality_classifier_scores"] = classifier.classifier_scores_sql()
+    o["quality_classifier_confusion"] = classifier.classifier_confusion_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

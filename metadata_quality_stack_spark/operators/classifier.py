@@ -205,3 +205,30 @@ SELECT doc_id, y::BIGINT AS label, score::BIGINT AS score_micros,
        (score > 0)::BIGINT AS pred
 FROM final
 """
+
+
+def classifier_confusion(
+    docs: DataFrame, rounds: int = TRAIN_ROUNDS
+) -> DataFrame:
+    """Evaluation readout of the trained filter: confusion-matrix counts
+    of (label, pred) — at most 4 rows, ONE bounded-key aggregation over
+    the map-only scoring pass. The per-cell counts are what precision/
+    recall/F1 monitoring derives from at 100 TB (the counts travel, the
+    docs don't).
+
+    Columns: label, pred, n_docs."""
+    return (
+        classifier_scores(docs, rounds)
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def classifier_confusion_sql(
+    table: str = "documents", rounds: int = TRAIN_ROUNDS
+) -> str:
+    return f"""
+WITH scored AS ({classifier_scores_sql(table, rounds)})
+SELECT label, pred, count(*)::BIGINT AS n_docs
+FROM scored GROUP BY label, pred
+"""
