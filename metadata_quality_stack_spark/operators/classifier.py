@@ -89,33 +89,57 @@ def _resid_micros(score_micros: F.Column, y: F.Column) -> F.Column:
     return F.round((p - y.cast("double")) * MICROS, 0).cast("long")
 
 
-def train_weights(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> list[int]:
-    """K rounds of full-batch GD. Returns N_WEIGHTS integer micros.
-    Each round is ONE Spark job whose shuffle is 257 keys; the weight
-    state (257 longs) round-trips through the driver like IVF
-    centroids."""
-    n_docs = docs.count()
-    w = [0] * N_WEIGHTS
-    base = docs.select(
+def _base_frame(docs: DataFrame) -> DataFrame:
+    """The tokenize-once projection the fit runs over: per-doc hashed
+    bucket array + label. ~16 bytes/token-id — the only thing worth
+    holding across gradient rounds."""
+    return docs.select(
         _features(F.col("text")).alias("bs"),
         _label(F.col("source")).alias("y"),
     )
-    for _ in range(rounds):
-        r = _resid_micros(_score_micros(F.col("bs"), w), F.col("y"))
-        grad_rows = (
-            base.select(r.alias("r"), F.explode(F.col("bs")).alias("b"))
-            .groupBy("b")
-            .agg(F.sum("r").alias("g"))
-            .collect()
-        )
-        grads = {int(row["b"]): int(row["g"]) for row in grad_rows}
-        w = [
-            w[j]
-            - _round_half_away(
-                LR_MICROS_PER_UNIT * grads.get(j, 0) / n_docs
-            )
-            for j in range(N_WEIGHTS)
-        ]
+
+
+def _grad_frame(base: DataFrame, w: list[int]) -> DataFrame:
+    """One gradient round over a (bs, y) base frame: explode bucket ids
+    with the per-doc residual attached, groupBy(bucket) — 257 keys."""
+    r = _resid_micros(_score_micros(F.col("bs"), w), F.col("y"))
+    return (
+        base.select(r.alias("r"), F.explode(F.col("bs")).alias("b"))
+        .groupBy("b")
+        .agg(F.sum("r").alias("g"))
+    )
+
+
+def train_weights(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> list[int]:
+    """K rounds of full-batch GD. Returns N_WEIGHTS integer micros.
+    Each round is ONE Spark job whose shuffle is 257 keys; the weight
+    state (257 longs) round-trips through the driver like IVF centroids.
+
+    The corpus is TOKENIZED ONCE: the (bs, y) base frame is persisted
+    (memory, disk spill) before the round loop, so rounds 2..K and the
+    n_docs count read cached bucket arrays instead of re-running
+    tokenize + 2 md5 per token over the corpus — at 100 TB that was the
+    dominant cost multiplied by K for no information gain (VERDICT r3
+    #3). The count() both materializes the cache and supplies n_docs in
+    one action. Plan-asserted in tests/test_classifier.py."""
+    from pyspark import StorageLevel
+
+    base = _base_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_docs = base.count()
+        w = [0] * N_WEIGHTS
+        for _ in range(rounds):
+            grad_rows = _grad_frame(base, w).collect()
+            grads = {int(row["b"]): int(row["g"]) for row in grad_rows}
+            w = [
+                w[j]
+                - _round_half_away(
+                    LR_MICROS_PER_UNIT * grads.get(j, 0) / n_docs
+                )
+                for j in range(N_WEIGHTS)
+            ]
+    finally:
+        base.unpersist()
     return w
 
 
@@ -231,4 +255,68 @@ def classifier_confusion_sql(
 WITH scored AS ({classifier_scores_sql(table, rounds)})
 SELECT label, pred, count(*)::BIGINT AS n_docs
 FROM scored GROUP BY label, pred
+"""
+
+
+# Logit-micro operating points for the PR sweep: 0 is the confusion
+# readout's point; the spread covers sigmoid(p) ~ 0.12 .. 0.88.
+SWEEP_THRESHOLDS = (
+    -2_000_000,
+    -1_000_000,
+    -500_000,
+    0,
+    500_000,
+    1_000_000,
+    2_000_000,
+)
+
+
+def classifier_pr_sweep(
+    docs: DataFrame,
+    rounds: int = TRAIN_ROUNDS,
+    thresholds: tuple[int, ...] = SWEEP_THRESHOLDS,
+) -> DataFrame:
+    """Confusion counts at EVERY candidate logit threshold — the
+    precision/recall tuning curve CCNet-style filters are actually
+    operated with (pick the threshold, not retrain). One map-only
+    scoring pass crossed with a broadcast literal threshold table, then
+    a bounded-key aggregation: |thresholds| rows of four counts travel,
+    the documents don't. Precision/recall/F1 at each point derive from
+    the counts downstream.
+
+    Columns: threshold, tp, fp, fn, tn."""
+    scores = classifier_scores(docs, rounds)
+    th = docs.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold long"
+    )
+    hit = F.col("score_micros") > F.col("threshold")
+    pos = F.col("label") == 1
+    cnt = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    return (
+        scores.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            cnt(hit & pos)("tp"),
+            cnt(hit & ~pos)("fp"),
+            cnt(~hit & pos)("fn"),
+            cnt(~hit & ~pos)("tn"),
+        )
+    )
+
+
+def classifier_pr_sweep_sql(
+    table: str = "documents",
+    rounds: int = TRAIN_ROUNDS,
+    thresholds: tuple[int, ...] = SWEEP_THRESHOLDS,
+) -> str:
+    th = ", ".join(str(int(t)) for t in thresholds)
+    return f"""
+WITH scored AS ({classifier_scores_sql(table, rounds)}),
+th AS (SELECT unnest([{th}])::BIGINT AS threshold)
+SELECT threshold,
+  coalesce(sum(((score_micros > threshold) AND label = 1)::BIGINT), 0) AS tp,
+  coalesce(sum(((score_micros > threshold) AND label = 0)::BIGINT), 0) AS fp,
+  coalesce(sum((NOT (score_micros > threshold) AND label = 1)::BIGINT), 0) AS fn,
+  coalesce(sum((NOT (score_micros > threshold) AND label = 0)::BIGINT), 0) AS tn
+FROM scored, th GROUP BY threshold
 """

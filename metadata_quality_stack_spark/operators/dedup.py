@@ -103,6 +103,15 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     that bucket. Short docs belong to exact dedup (exact_dedup_groups),
     not LSH; they come out of dedup_clusters as singletons."""
     sigs = minhash_signatures(docs).filter(F.col("mh0").isNotNull())
+    return _bands_from_sigs(sigs)
+
+
+def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Banding over an already-computed signature frame — callers that
+    need both signatures and bands (minhash_jaccard_estimate) compute the
+    shingle+hash pass ONCE and band from it, instead of paying the full
+    signature scan twice; identical subtrees also let ReuseExchange
+    collapse the shuffle when both appear in one plan."""
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = []
     for b in range(N_BANDS):
@@ -123,7 +132,10 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Docs sharing any LSH band bucket (self-join on bucket, d1 < d2)."""
-    bands = minhash_bands(docs)
+    return _pairs_from_bands(minhash_bands(docs))
+
+
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -569,7 +581,10 @@ def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
 
     Columns: d1, d2, n_agree, est_jaccard."""
     sigs = minhash_signatures(docs).filter(F.col("mh0").isNotNull())
-    pairs = minhash_candidate_pairs(docs)
+    # bands/pairs derive from the SAME sigs frame — one shingle+hash
+    # signature pass in the plan, not two (ReuseExchange collapses the
+    # agg shuffle shared by the banding and the two join sides)
+    pairs = _pairs_from_bands(_bands_from_sigs(sigs))
     a = sigs.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(N_MINHASH)],

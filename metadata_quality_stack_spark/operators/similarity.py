@@ -57,9 +57,11 @@ def embedding_qc(embeddings: DataFrame) -> DataFrame:
     left-fold double dot as the similarity family, so the readout is
     engine-mirrorable bit-for-bit."""
     norm = _norm(F.col("embedding"))
+    # cast: Spark size() is int32 but DuckDB len() is BIGINT — the gate
+    # compares schemas, so emit long (same convention as n_lines/n_features)
     return embeddings.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(norm, 6).alias("l2_norm"),
         (norm == 0.0).alias("is_zero"),
         F.exists("embedding", lambda x: F.isnan(x)).alias("has_nan"),
@@ -69,9 +71,14 @@ def embedding_qc(embeddings: DataFrame) -> DataFrame:
 def embedding_qc_sql(table: str = "embeddings") -> str:
     """DuckDB mirror of :func:`embedding_qc` (self-length fold, not the
     fixed-DIM dot_sql, so dim anomalies still get a correct norm)."""
+    # empty guard: list_reduce ERRORS on an empty list in DuckDB while the
+    # Spark aggregate returns 0.0 — and zero-dim vectors are exactly what
+    # this QC pass exists to catch. The guarded branch keeps the left fold
+    # (bit-identical double addition order vs Spark's aggregate()).
     sq = (
+        "CASE WHEN len(embedding) = 0 THEN 0.0 ELSE "
         "list_reduce(list_transform(embedding, "
-        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) END"
     )
     return f"""
 SELECT vec_id, len(embedding) AS dim,

@@ -32,8 +32,7 @@ Correctness properties (tested in tests/test_dedup_index.py):
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,10 +90,15 @@ def ingest_batch(
         .filter(F.col("doc_id") == F.col("_first"))
         .select("doc_id", "fingerprint")
     )
-    if os.path.isdir(index_dir):
+    # Existence probe through the Spark reader, NOT os.path: the index
+    # lives wherever the warehouse lives (HDFS/S3 in production), where a
+    # driver-local isdir() is always false and would silently skip the
+    # anti-join, re-admitting known duplicates. A failed read (no dir /
+    # empty dir -> AnalysisException) is the genuine "first ingest" case.
+    try:
         idx = read_index(spark, index_dir).select("fingerprint")
         survivors = batch_first.join(idx, "fingerprint", "left_anti")
-    else:
+    except AnalysisException:
         survivors = batch_first
     survivors = survivors.localCheckpoint(eager=True)
     (

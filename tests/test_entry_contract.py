@@ -18,11 +18,33 @@ def test_every_query_has_an_oracle():
     assert not set(oracles) - set(qs), "orphan oracle entries"
 
 
-def test_priority_prefix_is_window_sized_and_first():
+def test_priority_is_self_aiming():
+    """Queries without a driver-green CORRECTNESS row in any committed
+    round file sort FIRST (inside the ~50-query driver window); verified
+    ones follow. A brand-new query is unverified by construction, so the
+    mechanism needs no manual curation when operators are added."""
     qs = list(entry.queries())
-    assert len(entry._PRIORITY) <= 50, "prefix must fit the driver window"
-    assert qs[: len(entry._PRIORITY)] == entry._PRIORITY
-    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY), "duplicates"
+    verified = entry._driver_verified()
+    unverified = [n for n in qs if n not in verified]
+    assert qs[: len(unverified)] == unverified
+    assert len(unverified) <= 50, (
+        "more unverified queries than the driver window can reach — "
+        "stage additions across rounds"
+    )
+    # the mechanism, not the snapshot: an unknown name is never verified
+    fake = dict(entry.queries())
+    fake["__brand_new_query__"] = fake[qs[0]]
+    assert list(entry._prioritize(fake))[: len(unverified) + 1][-1] in fake
+    assert "__brand_new_query__" in list(entry._prioritize(fake))[
+        : len(unverified) + 1
+    ]
+
+
+def test_driver_verified_reads_round_files():
+    v = entry._driver_verified()
+    # r01-r03 are committed: the long-green core families must be in it
+    for name in ("quality_scores", "exact_dedup", "tpch_q1", "full_pipeline"):
+        assert name in v, name
 
 
 def test_oracle_sql_is_text():
