@@ -26,6 +26,7 @@ from metadata_quality_stack_spark.operators import (
     dedup,
     dsir,
     gopher,
+    micro_lm,
     multimodal,
     sampling,
     similarity,
@@ -363,6 +364,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["quality_classifier_pr_sweep"] = (
         lambda s, d: classifier.classifier_pr_sweep(_t(s, d, "documents"))
+    )
+    # Integer-micro SQL-oracled twins of the §2.9 model scorers: the
+    # oracle RETRAINS each model from the embedded seed corpus in CTEs,
+    # then hash-matches per-document scores (operators/micro_lm.py)
+    q["langid_model_scores"] = lambda s, d: micro_lm.langid_model_scores(
+        _t(s, d, "documents")
+    )
+    q["langid_model_histogram"] = (
+        lambda s, d: micro_lm.langid_model_histogram(_t(s, d, "documents"))
+    )
+    q["perplexity_model_scores"] = (
+        lambda s, d: micro_lm.perplexity_model_scores(_t(s, d, "documents"))
+    )
+    # end-to-end keep/drop with the micro models in the checker slot —
+    # the first FULLY oracled pipeline run (model rules included)
+    q["full_pipeline_micro"] = lambda s, d: micro_lm.full_pipeline_micro(
+        _t(s, d, "documents")
     )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
@@ -959,6 +977,10 @@ SELECT doc_id, source FROM (
     o["quality_classifier_scores"] = classifier.classifier_scores_sql()
     o["quality_classifier_confusion"] = classifier.classifier_confusion_sql()
     o["quality_classifier_pr_sweep"] = classifier.classifier_pr_sweep_sql()
+    o["langid_model_scores"] = micro_lm.langid_model_scores_sql()
+    o["langid_model_histogram"] = micro_lm.langid_model_histogram_sql()
+    o["perplexity_model_scores"] = micro_lm.perplexity_model_scores_sql()
+    o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "
