@@ -476,6 +476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fuzzy_dedup_new_batch"] = fuzzy_dedup_new_batch
+
+    # persistent fingerprint index: the full build -> ingest -> compact
+    # -> probe lifecycle against a scratch dir, mirrored by set algebra
+    def dedup_index_probe(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.sources import dedup_index
+
+        return dedup_index.index_probe_cycle(s, _t(s, d, "documents"))
+
+    q["dedup_index_probe"] = dedup_index_probe
     # signature-agreement Jaccard estimate per LSH candidate pair (the
     # text-free verify stage between banding and exact Jaccard)
     q["minhash_jaccard_estimate"] = lambda s, d: dedup.minhash_jaccard_estimate(
@@ -1649,6 +1658,9 @@ FROM scored s CROSS JOIN t GROUP BY 1
     o["chunk_documents"] = sampling.chunk_documents_sql()
     o["pack_chunks"] = sampling.pack_chunks_sql()
     o["dedup_new_batch"] = dedup.dedup_new_batch_sql()
+    from metadata_quality_stack_spark.sources import dedup_index as _dedup_index
+
+    o["dedup_index_probe"] = _dedup_index.index_probe_cycle_sql()
     o["rebalance_corpus"] = sampling.rebalance_corpus_sql()
     o["lang_mix_weights"] = """
 WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

@@ -47,11 +47,19 @@ def main() -> None:
     )
     from metadata_quality_stack_spark.sources.sink import run_incremental
 
+    from metadata_quality_stack_spark.operators.urlops import normalize_url
+
     spark = get_spark(app_name="quality-filter-job")
     pages = spark.read.parquet(args.input)
     if args.lang_filter:
         # predicate pushes down to the scan (parquet min/max + dict filters)
         pages = pages.filter(F.col("lang") == args.lang_filter)
+    # Canonicalize BEFORE bucketing: recrawl noise (scheme/www/#fragment/
+    # tracking-param variants of one page) must land in ONE commit bucket
+    # and one salt group, or the same logical page splits across buckets
+    # and downstream url-keyed dedup has to re-shuffle. The codegen
+    # regexp chain is ~8 scans of a ~100-byte string — free next to text.
+    pages = pages.withColumn("url_norm", normalize_url(F.col("url")))
 
     # Skew + layout are handled by the sink's single (bucket, salt)
     # exchange: the salt is url-hash-derived, so one hot domain spreads
@@ -61,7 +69,9 @@ def main() -> None:
     # standalone (domain, salt) repartition left the write layout
     # unbounded at O(tasks x buckets) files.
     def transform(bucket_df):
-        id_cols = ("url", "warc_ts") if "warc_ts" in bucket_df.columns else ("url",)
+        id_cols = ("url", "url_norm") + (
+            ("warc_ts",) if "warc_ts" in bucket_df.columns else ()
+        )
         out = quality_pipeline(
             bucket_df,
             id_cols=id_cols,
@@ -74,7 +84,7 @@ def main() -> None:
         return out
 
     stats = run_incremental(
-        spark, pages, args.output, transform, key_col="url",
+        spark, pages, args.output, transform, key_col="url_norm",
         n_buckets=args.buckets, n_salts=args.salts,
         partition_by="day" if args.partition_by_day else None,
     )

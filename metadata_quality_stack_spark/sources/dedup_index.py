@@ -127,6 +127,58 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         )
 
 
+def index_probe_cycle(
+    spark: SparkSession, docs: DataFrame, mod: int = 3
+) -> DataFrame:
+    """One full index lifecycle, gate-checkable against pure SQL:
+    BUILD the index from corpus slice A (doc_id % mod == 0), INGEST
+    batch B (== 1), COMPACT, then PROBE-and-ingest batch C (== 2) and
+    return C's survivors. Runs against a scratch directory so the gate
+    exercises the real parquet read/append/overwrite path — the logical
+    answer is pure set algebra over the same table (C's first-occurrence
+    fingerprints absent from A and from B's admitted set), which is what
+    :func:`index_probe_cycle_sql` states. Compaction sits between the
+    ingests precisely because it must NOT change the answer.
+
+    Columns: doc_id, fingerprint."""
+    import shutil
+    import tempfile
+
+    index_dir = tempfile.mkdtemp(prefix="dedup_index_gate_")
+    try:
+        build_index(docs.filter(F.col("doc_id") % mod == 0), index_dir)
+        ingest_batch(spark, docs.filter(F.col("doc_id") % mod == 1), index_dir)
+        compact_index(spark, index_dir)
+        survivors = ingest_batch(
+            spark, docs.filter(F.col("doc_id") % mod == 2), index_dir
+        )
+        # ingest_batch localCheckpoints eagerly, so the result outlives
+        # the scratch directory
+        return survivors
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def index_probe_cycle_sql(table: str = "documents", mod: int = 3) -> str:
+    """DuckDB mirror of :func:`index_probe_cycle`: the index after
+    build(A) + ingest(B) contains A's distinct fingerprints plus B's
+    admitted (batch-first, not-in-A) fingerprints; C's survivors are its
+    batch-first rows absent from both."""
+    return f"""
+WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM {table}),
+a AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % {mod} = 0),
+bfirst AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp
+           WHERE doc_id % {mod} = 1 GROUP BY fingerprint),
+badm AS (SELECT fingerprint FROM bfirst
+         WHERE fingerprint NOT IN (SELECT fingerprint FROM a)),
+cfirst AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp
+           WHERE doc_id % {mod} = 2 GROUP BY fingerprint)
+SELECT doc_id, fingerprint FROM cfirst
+WHERE fingerprint NOT IN (SELECT fingerprint FROM a)
+  AND fingerprint NOT IN (SELECT fingerprint FROM badm)
+"""
+
+
 class _dynamic_overwrite:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark

@@ -46,3 +46,16 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
     result = spark.read.parquet(os.path.join(out_dir, "bucket=*"))
     assert result.count() == 120
     assert os.path.isdir(os.path.join(out_dir, "_metrics", "lang_histogram"))
+    # commit buckets are keyed on the CANONICAL url: every row's bucket
+    # dir must equal pmod(xxhash64(url_norm), buckets), so recrawl
+    # variants of one page can never split across commit buckets
+    from pyspark.sql import functions as F
+
+    result2 = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "bucket=*")
+    )
+    assert "url_norm" in result2.columns
+    mismatched = result2.filter(
+        F.pmod(F.xxhash64(F.col("url_norm")), F.lit(4)) != F.col("bucket")
+    ).count()
+    assert mismatched == 0
