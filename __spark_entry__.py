@@ -28,6 +28,7 @@ from metadata_quality_stack_spark.operators import (
     gopher,
     micro_lm,
     multimodal,
+    sketches,
     sampling,
     similarity,
     textops,
@@ -381,6 +382,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first FULLY oracled pipeline run (model rules included)
     q["full_pipeline_micro"] = lambda s, d: micro_lm.full_pipeline_micro(
         _t(s, d, "documents")
+    )
+    # gate-verifiable cardinality sketch (KMV over md5-60bit hashes;
+    # deterministic, so the estimate itself hash-matches cross-engine)
+    q["kmv_distinct_estimate"] = (
+        lambda s, d: sketches.kmv_distinct_estimate(_t(s, d, "documents"))
+    )
+    # FineWeb-style domain-level filtering: drop whole low-keep-rate
+    # sources via a broadcast anti-join (threshold 0.8 splits sf0.01)
+    q["source_quality_filter"] = lambda s, d: analytics.source_quality_filter(
+        _t(s, d, "documents"), min_keep_rate=0.8
     )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
@@ -990,6 +1001,16 @@ SELECT doc_id, source FROM (
     o["langid_model_histogram"] = micro_lm.langid_model_histogram_sql()
     o["perplexity_model_scores"] = micro_lm.perplexity_model_scores_sql()
     o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
+    o["kmv_distinct_estimate"] = sketches.kmv_distinct_estimate_sql()
+    o["source_quality_filter"] = f"""
+WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
+rates AS (SELECT source,
+                 sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*) AS r
+          FROM s GROUP BY source),
+bad AS (SELECT source FROM rates WHERE r < 0.8 AND source IS NOT NULL)
+SELECT doc_id, source FROM documents
+WHERE source IS NULL OR source NOT IN (SELECT source FROM bad)
+"""
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "

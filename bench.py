@@ -133,6 +133,21 @@ def main() -> None:
     bench("embedding_topk", lambda: similarity.brute_force_topk(t("embeddings")))
 
     total = round(sum(timings.values()), 3)
+
+    # the SQL-oracled micro pipeline (correctness spine, r4) measured on
+    # the SAME pages corpus as the flagship, reported OUTSIDE `queries`
+    # so bench_total stays comparable across rounds. Expected slower than
+    # the fused-UDF path (explode + joins vs one Arrow crossing) — the
+    # number documents the price of full oracle-ability.
+    from metadata_quality_stack_spark.operators import micro_lm
+
+    micro_src = corpus.select(
+        F.col("url").alias("doc_id"), "text", "lang"
+    )
+    s0, t0 = _steal(), time.time()
+    _noop(micro_lm.full_pipeline_micro(micro_src))
+    micro_dt = time.time() - t0
+    micro_steal = _steal() - s0
     docs_per_sec = round(n_docs / timings["quality_pipeline_full"], 1)
     print(
         json.dumps(
@@ -146,6 +161,9 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
                 "pipeline_steal_jiffies": steal_best["quality_pipeline_full"],
+                "micro_pipeline_sec": round(micro_dt, 3),
+                "micro_pipeline_docs_per_sec": round(n_docs / micro_dt, 1),
+                "micro_pipeline_steal_jiffies": micro_steal,
                 "load_1m": round(os.getloadavg()[0], 1),
             }
         )

@@ -32,6 +32,39 @@ def rating_histogram(scored: DataFrame) -> DataFrame:
     return scored.groupBy("rating").agg(F.count("*").alias("n_docs"))
 
 
+def source_quality_filter(
+    docs: DataFrame, min_keep_rate: float = 0.5
+) -> DataFrame:
+    """Domain-level filtering (the FineWeb/RefinedWeb move): score the
+    corpus, compute each source's keep rate, then drop EVERY document
+    from sources whose rate falls below ``min_keep_rate`` — spammy
+    domains are removed wholesale, including their individually
+    plausible pages.
+
+    Scale shape: pass 1 is the map-only scoring projection feeding one
+    bounded-key aggregation (sources, not docs, shuffle); the offending
+    sources are a tiny relation that rides a BROADCAST anti-join back
+    over the corpus — pass 2 never shuffles. Null-source docs survive
+    (they can't be attributed to a bad domain; the presence RULES
+    already penalize them per-document).
+
+    Columns: doc_id, source."""
+    scored = scored_documents(docs)
+    rates = scored.groupBy("source").agg(
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)) / F.count("*")
+        ).alias("keep_rate")
+    )
+    bad = rates.filter(
+        F.col("keep_rate") < F.lit(float(min_keep_rate))
+    ).select("source")
+    return (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(bad), "source", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
 def dimension_stats(scored: DataFrame) -> DataFrame:
     """A9 — dashboard.py:176-254: avg/min/max per dimension, one row each.
 

@@ -469,13 +469,22 @@ def full_pipeline_micro(
 
     model = micro_model_columns(docs)
     df1 = docs.join(model, "doc_id")
-    meta_cols = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
+    # absent metadata columns make their presence-rules vacuously pass,
+    # same contract as rules.native_rule_percentages
+    meta_cols = {
+        k: (k if k in docs.columns else None)
+        for k in ("lang", "source", "n_chars")
+    }
 
     def model_pcts(meta):
         lang_col = meta["lang"]
         return {
-            "langid_match": _as_pct(
-                lang_col.isNotNull() & (F.col("lang_pred") == lang_col)
+            "langid_match": (
+                F.lit(0.0)
+                if lang_col is None
+                else _as_pct(
+                    lang_col.isNotNull() & (F.col("lang_pred") == lang_col)
+                )
             ),
             "langid_confidence": F.least(
                 F.greatest(F.col("lang_conf"), F.lit(0.0)), F.lit(1.0)

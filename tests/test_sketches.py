@@ -1,0 +1,85 @@
+"""KMV cardinality sketch: accuracy envelope, exact-below-K behavior,
+shard-merge property, TakeOrdered plan shape; plus the domain-level
+quality filter's broadcast anti-join and null-source safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import analytics, sketches
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 2000 distinct texts + duplicates that must NOT move the estimate
+    rows = [(i, f"document number {i} body") for i in range(2000)]
+    rows += [(10_000 + i, f"document number {i} body") for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_kmv_estimate_within_error_envelope(corpus):
+    row = sketches.kmv_distinct_estimate(corpus).collect()[0]
+    assert row["k_seen"] == sketches.KMV_K
+    # stderr ~ 1/sqrt(K-2) ~ 9%; allow 3 sigma
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.27, row
+
+
+def test_kmv_exact_when_under_k(spark):
+    small = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string"
+    )
+    row = sketches.kmv_distinct_estimate(small).collect()[0]
+    assert row["k_seen"] == 50
+    assert row["est_distinct"] == 50.0
+
+
+def test_kmv_duplicates_do_not_inflate(spark, corpus):
+    uniq = corpus.dropDuplicates(["text"])
+    a = sketches.kmv_distinct_estimate(corpus).collect()[0]
+    b = sketches.kmv_distinct_estimate(uniq).collect()[0]
+    assert a == b
+
+
+def test_kmv_merge_equals_whole_corpus_sketch(corpus):
+    whole = [r["h"] for r in sketches.kmv_sketch(corpus).collect()]
+    shards = [
+        corpus.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    merged = sketches.kmv_merge([sketches.kmv_sketch(s) for s in shards])
+    assert [r["h"] for r in merged.collect()] == whole
+
+
+def test_kmv_matches_pure_python(spark):
+    texts = [f"x{i}" for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hs = sorted({sketches.py_h60(t) for t in texts})[: sketches.KMV_K]
+    got = [r["h"] for r in sketches.kmv_sketch(df).collect()]
+    assert got == hs
+
+
+def test_kmv_plan_is_take_ordered(corpus, capsys):
+    sketches.kmv_sketch(corpus).explain("formatted")
+    plan = capsys.readouterr().out
+    assert "TakeOrderedAndProject" in plan, "limit-after-sort must not global-sort"
+
+
+def test_source_quality_filter(spark):
+    # src_bad's docs are empty -> keep rate 0; src_good's docs score well
+    good_text = (
+        "The quick brown fox jumps over the lazy dog near the river. "
+        "The children played in the garden with a red ball all morning. "
+        "An old man read his newspaper at the table by the window. "
+    ) * 3
+    rows = [(i, good_text, "en", "src_good", len(good_text)) for i in range(10)]
+    rows += [(100 + i, "", "en", "src_bad", 0) for i in range(10)]
+    rows += [(200, good_text, "en", None, len(good_text))]  # null source
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = analytics.source_quality_filter(docs, min_keep_rate=0.5)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == set(range(10)) | {200}, kept
+    # plan: the corpus-side pass must be a broadcast anti-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
