@@ -224,7 +224,19 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
 
     The token-hash array is materialized in a staged projection (see
     rules.stage) so the 16 per-bit vote folds iterate an attribute array
-    instead of re-hashing every token 16x."""
+    instead of re-hashing every token 16x.
+
+    Shape note (round-4 re-measure of the r03 bench drift): an
+    explode + groupBy(doc_id) rewrite of the votes (the
+    minhash_signatures pattern) was built, gate-verified identical, and
+    A/B-measured IN ONE PROCESS, steal-free, both orders, at sf0.1:
+    this fold runs 0.41-0.50 s, the explode+agg form 0.68-0.79 s —
+    here the 16 cheap interpreted vote steps per token beat the
+    5.5M-row explode + exchange + hash-agg machinery, and the fold is
+    also map-only (zero Exchange), which is the shape you want at
+    100 TB anyway. The r02->r03 0.567->0.850 bench delta reproduced on
+    NEITHER variant under in-process A/B — it is process/host variance
+    (JIT + ambient), not code. Kept: the fold."""
     from metadata_quality_stack_spark.operators.rules import stage
 
     lows = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
