@@ -388,6 +388,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmv_distinct_estimate"] = (
         lambda s, d: sketches.kmv_distinct_estimate(_t(s, d, "documents"))
     )
+
+    # the property that matters at scale: merging per-shard sketches
+    # must equal the whole-corpus sketch (the oracle computes the latter)
+    def kmv_shard_merge(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        shards = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        return sketches.kmv_merge([sketches.kmv_sketch(x) for x in shards])
+
+    q["kmv_shard_merge"] = kmv_shard_merge
+    # crawl-text canonicalization (C4-style whitespace/control cleanup)
+    q["normalize_text"] = lambda s, d: textops.normalize_text(
+        _t(s, d, "documents")
+    )
     # FineWeb-style domain-level filtering: drop whole low-keep-rate
     # sources via a broadcast anti-join (threshold 0.8 splits sf0.01)
     q["source_quality_filter"] = lambda s, d: analytics.source_quality_filter(
@@ -1002,6 +1015,12 @@ SELECT doc_id, source FROM (
     o["perplexity_model_scores"] = micro_lm.perplexity_model_scores_sql()
     o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
     o["kmv_distinct_estimate"] = sketches.kmv_distinct_estimate_sql()
+    # merge-of-shards == sketch-of-whole: the oracle states the whole
+    o["kmv_shard_merge"] = f"""
+WITH hs AS (SELECT DISTINCT {sketches._h60_sql('text')} AS h FROM documents)
+SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
+"""
+    o["normalize_text"] = textops.normalize_text_sql()
     o["source_quality_filter"] = f"""
 WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
 rates AS (SELECT source,

@@ -442,3 +442,51 @@ SELECT term, tf, df, round(ln((n_docs + 1) / (df + 1)), 6) AS idf
 FROM per, n
 ORDER BY tf DESC, term ASC LIMIT {limit}
 """
+
+
+# crawl-text canonicalization (the C4/CCNet pre-filter cleanup stage)
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # keep \t \n (\r handled first)
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical whitespace/control cleanup BEFORE scoring/dedup — the
+    standard crawl-preprocessing stage: CRLF/CR -> LF, strip ASCII
+    control characters (except tab/newline), collapse space/tab runs to
+    one space, trim spaces around newlines, squeeze 3+ blank lines to
+    one, trim the ends. Map-only chained regexp_replace (single-pass
+    scans of the document, all codegen); running it before exact dedup
+    makes byte-identical-modulo-whitespace recrawls collapse.
+
+    Columns: doc_id, n_chars_raw, n_chars_clean, clean_text."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    u = F.regexp_replace(t, "\r\n", "\n")
+    u = F.regexp_replace(u, "\r", "\n")
+    u = F.regexp_replace(u, _CTRL_CLASS, "")
+    u = F.regexp_replace(u, "[ \t]+", " ")
+    u = F.regexp_replace(u, " *\n *", "\n")
+    u = F.regexp_replace(u, "\n{3,}", "\n\n")
+    u = F.btrim(u, F.lit(" \n"))
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(u).cast("long").alias("n_chars_clean"),
+        u.alias("clean_text"),
+    )
+
+
+def normalize_text_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror (same step order; RE2 needs the 'g' flag where
+    Spark replaces all occurrences by default)."""
+    t = f"coalesce({text_col}, '')"
+    u = f"regexp_replace({t}, '\\r\\n', chr(10), 'g')"
+    u = f"regexp_replace({u}, '\\r', chr(10), 'g')"
+    u = f"regexp_replace({u}, '{_CTRL_CLASS}', '', 'g')"
+    u = f"regexp_replace({u}, '[ \\t]+', ' ', 'g')"
+    u = f"regexp_replace({u}, ' *\\n *', chr(10), 'g')"
+    u = f"regexp_replace({u}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    u = f"trim({u}, ' ' || chr(10))"
+    return f"""
+SELECT doc_id, length({t})::BIGINT AS n_chars_raw,
+       length({u})::BIGINT AS n_chars_clean, {u} AS clean_text
+FROM {table}
+"""

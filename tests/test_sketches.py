@@ -83,3 +83,34 @@ def test_source_quality_filter(spark):
     # plan: the corpus-side pass must be a broadcast anti-join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_normalize_text_hostile(spark):
+    from metadata_quality_stack_spark.operators import textops
+
+    rows = [
+        (0, "a  b\tc"),                       # space/tab runs
+        (1, "line1 \r\n line2\rline3"),       # CRLF + CR + edge spaces
+        (2, "x\x00y\x07z\x0c!"),              # control chars stripped
+        (3, "a\n\n\n\n\nb"),                  # blank-line squeeze
+        (4, "  \n padded \n  "),              # outer trim
+        (5, ""),                              # empty
+        (6, None),                            # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.normalize_text(df).collect()}
+    assert out[0]["clean_text"] == "a b c"
+    assert out[1]["clean_text"] == "line1\nline2\nline3"
+    assert out[2]["clean_text"] == "xyz!"
+    assert out[3]["clean_text"] == "a\n\nb"
+    assert out[4]["clean_text"] == "padded"
+    assert out[5]["clean_text"] == "" and out[5]["n_chars_raw"] == 0
+    assert out[6]["clean_text"] == "" and out[6]["n_chars_raw"] == 0
+    # whitespace-variant recrawls now collapse under exact dedup
+    a = textops.normalize_text(
+        spark.createDataFrame(
+            [(0, "hello  world\r\n"), (1, "hello world")],
+            "doc_id long, text string",
+        )
+    ).collect()
+    assert a[0]["clean_text"] == a[1]["clean_text"]
