@@ -199,3 +199,46 @@ def pages_spark_df(spark, n_rows: int = 400, seed: int = 7, with_class: bool = F
     if not with_class:
         pdf = pdf.drop(columns=["row_class"])
     return spark.createDataFrame(pdf)
+
+
+def read_pages_jsonl(spark, path: str):
+    """Crawl-dump ingestion: JSONL pages with an EXPLICIT schema and
+    corrupt-line quarantine. Schema inference on a 100 TB dump costs a
+    full extra pass and may mistype sparse columns from a sample, so the
+    pages schema (url, warc_ts, text, lang) is declared; PERMISSIVE mode
+    + a ``_corrupt_record`` column means one mangled line degrades to a
+    quarantine row instead of failing the shard (the crawl reality: dumps
+    always contain truncated lines). Returns (good, quarantined) —
+    ``good`` drops the quarantine column; the caller persists
+    ``quarantined`` next to the metrics sidecar for lineage.
+
+    The html payload travels base64-armored when present (JSON has no
+    binary type); it is decoded here so downstream sees the same binary
+    column the parquet path provides."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "url string, warc_ts timestamp, html_b64 string, text string, "
+        "lang string, _corrupt_record string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark disallows querying ONLY the internal corrupt column from a
+        # raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+        # COLUMN); caching the parsed frame is the documented contract —
+        # and both sides of the split read it anyway, so the parse of
+        # each shard runs once instead of twice.
+        .cache()
+    )
+    good = (
+        raw.filter(F.col("_corrupt_record").isNull())
+        .withColumn("html", F.unbase64(F.col("html_b64")))
+        .drop("_corrupt_record", "html_b64")
+    )
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, quarantined

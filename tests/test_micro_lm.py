@@ -161,3 +161,41 @@ def test_micro_langid_agrees_with_udf_model(corpus):
     n = j.count()
     agree = j.filter(F.col("lp_micro") == F.col("lp_udf")).count()
     assert agree / n >= 0.90, f"micro/UDF langid agreement {agree}/{n}"
+
+
+def test_cross_engine_parity_hostile_unicode(spark, tmp_path):
+    """The driver gate only exercises the synthetic corpus; this pins
+    Spark<->DuckDB parity on inputs it never contains: emoji, RTL
+    Arabic, combining marks, CJK without spaces, a lone quote, and a
+    tab/newline soup — byte-level md5 bucketing and char-level substr
+    must agree across engines on all of them."""
+    import duckdb
+
+    rows = [
+        (0, "🎉🎉 مرحبا بالعالم 🎉 test"),
+        (1, "étude résumé naïve"),  # combining marks
+        (2, "你好世界没有空格的长句子测试一下"),
+        (3, "it's a \"quoted\" line, isn't it?"),
+        (4, "tab\there\nnewline\r\nmix  \t "),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "hostile.parquet")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    for spark_df, sql in [
+        (
+            micro_lm.langid_model_scores(df),
+            micro_lm.langid_model_scores_sql(),
+        ),
+        (
+            micro_lm.perplexity_model_scores(df),
+            micro_lm.perplexity_model_scores_sql(),
+        ),
+    ]:
+        got = sorted(tuple(r) for r in spark_df.collect())
+        want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+        assert got == want

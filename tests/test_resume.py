@@ -173,3 +173,38 @@ def test_day_partitioned_sink_prunes(spark, tmp_path):
     with redirect_stdout(buf):
         result.filter(F.col("day") == F.lit(one_day)).explain("formatted")
     assert "PartitionFilters: [isnotnull(day" in buf.getvalue()
+
+
+def test_read_pages_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """Crawl dumps always contain mangled lines: they must degrade to
+    quarantine rows, not fail the shard; html survives base64 round-trip."""
+    import base64
+    import json as json_mod
+
+    from metadata_quality_stack_spark.sources.pages import read_pages_jsonl
+
+    p = tmp_path / "dump.jsonl"
+    rows = [
+        {"url": "http://a.example/1", "warc_ts": "2024-01-05 10:00:00",
+         "html_b64": base64.b64encode(b"<html>hi</html>").decode(),
+         "text": "hi", "lang": "en"},
+        {"url": "http://a.example/2", "warc_ts": "2024-01-05 11:00:00",
+         "html_b64": None, "text": "bonjour le monde", "lang": "fr"},
+    ]
+    lines = [json_mod.dumps(r) for r in rows]
+    lines.insert(1, '{"url": "http://bad.example/x", "text": "trunca')  # mangled
+    p.write_text("\n".join(lines) + "\n")
+
+    good, quarantined = read_pages_jsonl(spark, str(p))
+    g = {r["url"]: r for r in good.collect()}
+    assert set(g) == {"http://a.example/1", "http://a.example/2"}
+    assert bytes(g["http://a.example/1"]["html"]) == b"<html>hi</html>"
+    assert g["http://a.example/2"]["html"] is None
+    q = quarantined.collect()
+    assert len(q) == 1 and "trunca" in q[0]["_corrupt_record"]
+    # the good side feeds the normal pipeline unchanged
+    from metadata_quality_stack_spark.plans.pipeline import quality_pipeline
+
+    out = quality_pipeline(good, id_cols=("url",), lang_col="lang",
+                           include_text=False)
+    assert out.count() == 2
