@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsir_sample"] = lambda s, d: dsir.dsir_sample(_t(s, d, "documents"))
     # full Gopher repetition suite (arXiv:2112.11446 Table A1): 12
     # per-document duplication signals, map-only (zero Exchange)
+    q["gopher_repetition_filter"] = (
+        lambda s, d: gopher.gopher_repetition_filter(_t(s, d, "documents"))
+    )
     q["gopher_repetition"] = lambda s, d: gopher.gopher_repetition(
         _t(s, d, "documents")
     )
@@ -1004,6 +1007,7 @@ SELECT doc_id, source FROM (
     o["dsir_logweights"] = dsir.dsir_logweights_sql()
     o["dsir_sample"] = dsir.dsir_sample_sql()
     o["gopher_repetition"] = gopher.gopher_repetition_sql()
+    o["gopher_repetition_filter"] = gopher.gopher_repetition_filter_sql()
     o["gopher_repetition_fast"] = gopher.gopher_repetition_sql()
     o["shuffle_shards"] = sampling.shuffle_shards_sql()
     o["quality_classifier_weights"] = classifier.classifier_weights_sql()

@@ -408,3 +408,69 @@ def gopher_repetition_sql(table: str = "documents") -> str:
         + "\nFROM "
         + "\n     ".join(joins)
     )
+
+
+# Gopher Table A1 removal thresholds (arXiv:2112.11446 — public), in the
+# same integer micros the readout emits: every comparison below is exact
+# integer arithmetic, so the keep mask gates bit-identically cross-engine.
+GOPHER_THRESHOLDS_MICROS = {
+    "dup_line_frac_micros": 300_000,        # dup line fraction > 0.30
+    "dup_para_frac_micros": 300_000,        # dup paragraph fraction > 0.30
+    "dup_line_char_frac_micros": 200_000,   # dup line char fraction > 0.20
+    "dup_para_char_frac_micros": 200_000,   # dup para char fraction > 0.20
+    "top2gram_char_frac_micros": 200_000,   # top 2-gram > 0.20
+    "top3gram_char_frac_micros": 180_000,   # top 3-gram > 0.18
+    "top4gram_char_frac_micros": 160_000,   # top 4-gram > 0.16
+    "dup5gram_char_frac_micros": 150_000,   # dup 5-gram > 0.15
+    "dup6gram_char_frac_micros": 140_000,
+    "dup7gram_char_frac_micros": 130_000,
+    "dup8gram_char_frac_micros": 120_000,
+    "dup9gram_char_frac_micros": 110_000,
+    "dup10gram_char_frac_micros": 100_000,  # dup 10-gram > 0.10
+}
+
+
+def gopher_repetition_filter(docs: DataFrame) -> DataFrame:
+    """The repetition suite made ACTIONABLE: apply the paper's removal
+    thresholds to all 13 signals and emit the keep mask + failure
+    accounting — the repetition-rule stage of a Gopher-style pipeline
+    rather than a diagnostics readout. Map-only on top of the readout
+    projections (zero Exchange, same as gopher_repetition); failed
+    signal names travel as a comma-joined string in threshold order.
+
+    Columns: doc_id, n_failed, keep, failed_signals."""
+    g = gopher_repetition(docs)
+    items = list(GOPHER_THRESHOLDS_MICROS.items())
+    n_failed = None
+    for c, t in items:
+        term = (F.col(c) > F.lit(t)).cast("long")
+        n_failed = term if n_failed is None else n_failed + term
+    reasons = F.concat_ws(
+        ",",
+        *[
+            F.when(F.col(c) > F.lit(t), F.lit(c[: -len("_micros")]))
+            for c, t in items
+        ],
+    )
+    return g.select(
+        "doc_id",
+        n_failed.alias("n_failed"),
+        (n_failed == 0).alias("keep"),
+        reasons.alias("failed_signals"),
+    )
+
+
+def gopher_repetition_filter_sql(table: str = "documents") -> str:
+    items = list(GOPHER_THRESHOLDS_MICROS.items())
+    n_failed = " + ".join(f"({c} > {t})::BIGINT" for c, t in items)
+    reasons = ", ".join(
+        f"CASE WHEN {c} > {t} THEN '{c[: -len('_micros')]}' END"
+        for c, t in items
+    )
+    return f"""
+WITH g AS ({gopher_repetition_sql(table)})
+SELECT doc_id, {n_failed} AS n_failed,
+       ({n_failed}) = 0 AS keep,
+       concat_ws(',', {reasons}) AS failed_signals
+FROM g
+"""

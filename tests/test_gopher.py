@@ -134,3 +134,34 @@ def test_fast_variant_parity_and_plan(spark, docs, capsys):
     # exactly one Arrow crossing (node appears once in the plan tree,
     # once in the formatted detail section)
     assert plan.count("ArrowEvalPython (") == 1
+
+
+def test_repetition_filter_thresholds(spark):
+    from metadata_quality_stack_spark.operators.gopher import (
+        GOPHER_THRESHOLDS_MICROS,
+        gopher_repetition_filter,
+    )
+
+    # genuinely repetition-free: every token unique corpus-wide (a
+    # templated sentence would legitimately trip the dup-n-gram signals)
+    clean = "\n".join(
+        " ".join(f"w{i}x{j}" for j in range(8)) for i in range(20)
+    )
+    spammy = "\n".join(["buy cheap pills online now"] * 20)
+    df = spark.createDataFrame(
+        [(0, clean), (1, spammy), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition_filter(df).collect()}
+    assert out[0]["keep"] and out[0]["n_failed"] == 0
+    assert out[0]["failed_signals"] == ""
+    assert not out[1]["keep"]
+    assert "dup_line_frac" in out[1]["failed_signals"]
+    assert out[1]["n_failed"] >= 2
+    # empty / null docs have no repetition -> pass this stage (length
+    # rules elsewhere drop them)
+    assert out[2]["keep"] and out[3]["keep"]
+    # failure names come from the threshold table, in its order
+    names = [c[: -len("_micros")] for c in GOPHER_THRESHOLDS_MICROS]
+    got = out[1]["failed_signals"].split(",")
+    assert got == [n for n in names if n in got]
