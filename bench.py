@@ -144,10 +144,13 @@ def main() -> None:
     micro_src = corpus.select(
         F.col("url").alias("doc_id"), "text", "lang"
     )
-    s0, t0 = _steal(), time.time()
-    _noop(micro_lm.full_pipeline_micro(micro_src))
-    micro_dt = time.time() - t0
-    micro_steal = _steal() - s0
+    micro_dt, micro_steal = None, 0
+    for _ in range(2):  # best-of-2: single runs proved steal-polluted
+        s0, t0 = _steal(), time.time()
+        _noop(micro_lm.full_pipeline_micro(micro_src))
+        dt = time.time() - t0
+        if micro_dt is None or dt < micro_dt:
+            micro_dt, micro_steal = dt, _steal() - s0
     docs_per_sec = round(n_docs / timings["quality_pipeline_full"], 1)
     print(
         json.dumps(

@@ -139,3 +139,53 @@ def stream_lang_histogram(
             "n_docs",
         )
     )
+
+
+def stream_ingest_with_index(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The production continuous-ingest loop: stream crawl pages, exact-
+    dedup each micro-batch against the PERSISTENT fingerprint index
+    (sources/dedup_index.py), write only first-seen documents, append
+    their fingerprints to the index.
+
+    This closes the gap the watermark variant (stream_dedup) leaves: its
+    state ages out after the horizon, so a duplicate arriving a month
+    later is re-admitted. Here membership lives in the on-disk bucketed
+    index — unbounded corpus memory, bounded executor state (the
+    anti-join probe shuffles 16-byte fingerprints, never text).
+
+    Exactly-once note: foreachBatch can replay a batch after a crash;
+    ingest_batch is idempotent for re-ingests (LEFT ANTI probe — rows
+    re-appended by a replay are duplicates in the INDEX, which compaction
+    removes and which can never re-admit a document), and the parquet
+    write keys on doc_id so a replayed batch overwrites its own output
+    partition-dir rather than doubling it."""
+    from metadata_quality_stack_spark.sources.dedup_index import ingest_batch
+
+    pages = read_pages_stream(spark, input_dir).withColumn(
+        "doc_id", F.col("url")
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        survivors = ingest_batch(spark, batch_df, index_dir)
+        out = batch_df.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    writer = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -169,3 +169,46 @@ def test_stateful_running_domain_stats(spark, pages_dir, tmp_path):
     for d in want.index:
         assert got.loc[d, "n_docs"] == want.loc[d, "n_docs"], d
         assert got.loc[d, "n_kept"] == want.loc[d, "n_kept"], d
+
+
+def test_stream_ingest_with_index_survives_restart(spark, tmp_path):
+    """The persistent-index ingest loop: duplicates are dropped ACROSS
+    separate query runs (where watermark state would have been lost) —
+    the index on disk, not executor state, is the membership."""
+    import pandas as pd
+
+    from metadata_quality_stack_spark.streaming.stream import (
+        stream_ingest_with_index,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "index")
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    texts = [f"indexed doc {i} body" for i in range(12)]
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    _write([(f"https://a/{i}", ts, b"", texts[i], "en") for i in range(12)])
+    q = stream_ingest_with_index(spark, src, out, ckpt, idx)
+    q.awaitTermination(120)
+
+    # second QUERY RUN (fresh stream, same checkpoint/index): 6 cross-run
+    # dups under new urls + 4 genuinely new docs
+    _write(
+        [(f"https://b/{i}", ts + pd.Timedelta(days=40), b"", texts[i], "en")
+         for i in range(6)]
+        + [(f"https://c/{i}", ts + pd.Timedelta(days=40), b"",
+            f"late fresh {i}", "en") for i in range(4)]
+    )
+    q2 = stream_ingest_with_index(spark, src, out, ckpt, idx)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 16  # 12 originals + 4 new; 6 forty-day dups dropped
+    assert got.select("text").distinct().count() == 16
