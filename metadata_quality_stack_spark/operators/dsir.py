@@ -138,22 +138,65 @@ def _log_ratio_micros(census_rows) -> list[int]:
     ]
 
 
-def dsir_logweights(docs: DataFrame) -> DataFrame:
+def dsir_logweights(docs: DataFrame, single_pass: bool = False) -> DataFrame:
     """Per-document hashed-n-gram log importance weight (integer micros)
     plus the feature count. Two Spark jobs: the census (one bounded-key
     aggregation, collected like IVF centroids), then a map-only scoring
     pass folding each document's buckets over the broadcast-literal
     log-ratio table.
 
+    ``single_pass=True`` is the VERDICT-r3-#3 companion for DSIR: the
+    default formulation tokenizes the corpus twice (census, then
+    scoring); the single-pass mode persists the (doc_id, bs) feature
+    frame so tokenize + 2·md5-per-token runs ONCE, reads the census off
+    the cache, builds the scoring frame off the cache, and pins the
+    scoring result with an eager localCheckpoint (doc_id + two longs per
+    row) so the cache can be released before returning. Identical
+    output by construction (regression-tested); the trade is one
+    feature-frame materialization (~16 B/token) against a second full
+    tokenize+hash pass — at 100 TB take the cache.
+
     Columns: doc_id, n_features, logw_micros."""
-    lr = _log_ratio_micros(bucket_census(docs).collect())
-    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
-    bs = feature_buckets(F.col("text"))
-    return docs.select(
+    if not single_pass:
+        lr = _log_ratio_micros(bucket_census(docs).collect())
+        return _score_frame(docs.select("doc_id", _bs().alias("bs")), lr)
+    from pyspark import StorageLevel
+
+    feats = docs.select(
         "doc_id",
-        F.size(bs).cast("long").alias("n_features"),
+        F.col("source").isin(*TARGET_SOURCES).alias("is_target"),
+        _bs().alias("bs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        census = (
+            feats.select("is_target", F.explode("bs").alias("b"))
+            .groupBy("b")
+            .agg(
+                F.count("*").alias("n_raw"),
+                F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias(
+                    "n_target"
+                ),
+            )
+        )
+        lr = _log_ratio_micros(census.collect())
+        return _score_frame(feats, lr).localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
+
+
+def _bs() -> F.Column:
+    return feature_buckets(F.col("text"))
+
+
+def _score_frame(with_bs: DataFrame, lr: list[int]) -> DataFrame:
+    """Map-only scoring over a frame carrying a ``bs`` bucket-array
+    column: fold each document's buckets over the literal table."""
+    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+    return with_bs.select(
+        "doc_id",
+        F.size("bs").cast("long").alias("n_features"),
         F.aggregate(
-            bs,
+            F.col("bs"),
             F.lit(0).cast("long"),
             lambda acc, b: acc + F.element_at(lr_arr, (b + 1).cast("int")),
         ).alias("logw_micros"),

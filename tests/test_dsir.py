@@ -66,3 +66,21 @@ def test_scoring_stage_is_map_only(corpus, capsys):
     plan = capsys.readouterr().out
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_single_pass_matches_two_pass(spark):
+    """dsir_logweights(single_pass=True) tokenizes once (persisted
+    feature frame) and must produce EXACTLY the two-pass result."""
+    from metadata_quality_stack_spark.operators import dsir
+
+    rows = [(i, "alpha beta gamma " * 3, "en", "src0", 10) for i in range(15)]
+    rows += [(100 + i, "omega sigma tau " * 3, "en", "src9", 10) for i in range(25)]
+    rows += [(200, "", "en", "src9", 0), (201, None, "en", None, 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    two = sorted(tuple(r) for r in dsir.dsir_logweights(docs).collect())
+    one = sorted(
+        tuple(r) for r in dsir.dsir_logweights(docs, single_pass=True).collect()
+    )
+    assert one == two
