@@ -409,6 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_quality_filter"] = lambda s, d: analytics.source_quality_filter(
         _t(s, d, "documents"), min_keep_rate=0.8
     )
+    # shuffle-key skew diagnostics (lang is the skewed key: 'en' ~43%)
+    q["skew_report"] = lambda s, d: analytics.skew_report(
+        _t(s, d, "documents"), "lang"
+    )
 
     # -- end-to-end curation composite: score -> keep -> exact-dedup ->
     # deterministic 50% sample -> per-source cap of 10
@@ -1019,6 +1023,7 @@ SELECT doc_id, source FROM (
     o["perplexity_model_scores"] = micro_lm.perplexity_model_scores_sql()
     o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
     o["kmv_distinct_estimate"] = sketches.kmv_distinct_estimate_sql()
+    o["skew_report"] = analytics.skew_report_sql("documents", "lang")
     # merge-of-shards == sketch-of-whole: the oracle states the whole
     o["kmv_shard_merge"] = f"""
 WITH hs AS (SELECT DISTINCT {sketches._h60_sql('text')} AS h FROM documents)

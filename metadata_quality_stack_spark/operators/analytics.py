@@ -32,6 +32,45 @@ def rating_histogram(scored: DataFrame) -> DataFrame:
     return scored.groupBy("rating").agg(F.count("*").alias("n_docs"))
 
 
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the one-row readout that decides
+    whether a join/agg key needs salting and at what factor BEFORE the
+    job runs at scale: key count, hottest key's row count, skew factor
+    (max/mean), exact p50/p99 of per-key rows, and the salt count that
+    would flatten the hottest key to roughly the mean task size
+    (ceil(skew_factor), the n_salts argument of salted_repartition /
+    run_incremental). Two bounded aggregations: per-key counts (keys
+    shuffle, rows don't — map-side combine) then a 1-row rollup.
+
+    Columns: n_keys, n_rows, max_key_rows, skew_factor, p50_key_rows,
+    p99_key_rows, recommended_salts."""
+    per = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    avg = F.sum("n") / F.count("*")
+    return per.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.round(F.max("n") / avg, 4).alias("skew_factor"),
+        F.percentile("n", 0.5).alias("p50_key_rows"),
+        F.percentile("n", 0.99).alias("p99_key_rows"),
+        F.ceil(F.max("n") / avg).cast("long").alias("recommended_salts"),
+    )
+
+
+def skew_report_sql(table: str, key_col: str) -> str:
+    avg = "(sum(n) / count(*))"
+    return f"""
+WITH per AS (SELECT {key_col} AS k, count(*) AS n FROM {table} GROUP BY {key_col})
+SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+       max(n)::BIGINT AS max_key_rows,
+       round(max(n) / {avg}, 4) AS skew_factor,
+       quantile_cont(n, 0.5) AS p50_key_rows,
+       quantile_cont(n, 0.99) AS p99_key_rows,
+       CAST(ceil(max(n) / {avg}) AS BIGINT) AS recommended_salts
+FROM per
+"""
+
+
 def source_quality_filter(
     docs: DataFrame, min_keep_rate: float = 0.5
 ) -> DataFrame:

@@ -114,3 +114,17 @@ def test_normalize_text_hostile(spark):
         )
     ).collect()
     assert a[0]["clean_text"] == a[1]["clean_text"]
+
+
+def test_skew_report_recommends_salts(spark):
+    # one hot key (80 rows) + 20 cold keys (1 row each): mean ~4.76,
+    # skew ~16.8 -> recommended_salts 17
+    rows = [(i, "hot") for i in range(80)]
+    rows += [(100 + i, f"cold{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    r = analytics.skew_report(df, "domain").collect()[0]
+    assert r["n_keys"] == 21 and r["n_rows"] == 100
+    assert r["max_key_rows"] == 80
+    assert r["p50_key_rows"] == 1.0
+    assert r["recommended_salts"] == 17
+    assert abs(r["skew_factor"] - 16.8) < 0.01
