@@ -754,18 +754,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # its natural dict order), already-verified queries follow. New queries
 # are unverified by construction, so they land inside the window with no
 # manual curation; once a round records them green they rotate out.
-def _driver_verified() -> set[str]:
-    """Query names with a driver-recorded green CORRECTNESS row in ANY
-    past round. green = rows+schema+hash matched vs the DuckDB oracle,
-    or the documented rows-only case (err == 'no_oracle') where the
-    driver recorded a row count — re-running that query burns a window
-    slot without ever producing a stronger signal."""
+def _verified_latest_round() -> dict[str, int]:
+    """Latest round in which each query got a driver-recorded green
+    CORRECTNESS row. green = rows+schema+hash matched vs the DuckDB
+    oracle, or the documented rows-only case (err == 'no_oracle') where
+    the driver recorded a row count — re-running that one burns a
+    window slot without ever producing a stronger signal."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -785,15 +788,25 @@ def _driver_verified() -> set[str]:
                 r.get("err") == "no_oracle" and r.get("spark_rows") is not None
             )
             if green or rows_only:
-                seen.add(name)
-    return seen
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_verified() -> set[str]:
+    return set(_verified_latest_round())
 
 
 def _prioritize(q: dict) -> dict:
-    verified = _driver_verified()
-    out = {k: v for k, v in q.items() if k not in verified}
-    out.update({k: v for k, v in q.items() if k not in out})
-    return out
+    """Unverified queries first (natural order); the verified tail is
+    ordered by STALENESS — least-recently-green first — so the window
+    slots left after the unverified set rotate re-verification across
+    rounds instead of re-checking the same early-dict entries forever."""
+    latest = _verified_latest_round()
+    names = list(q)
+    order = sorted(
+        range(len(names)), key=lambda i: (latest.get(names[i], -1), i)
+    )
+    return {names[i]: q[names[i]] for i in order}
 
 
 # --------------------------------------------------------------------------

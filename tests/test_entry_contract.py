@@ -38,6 +38,10 @@ def test_priority_is_self_aiming():
     assert "__brand_new_query__" in list(entry._prioritize(fake))[
         : len(unverified) + 1
     ]
+    # verified tail rotates by STALENESS: least-recently-green first
+    latest = entry._verified_latest_round()
+    tail_rounds = [latest[n] for n in qs[len(unverified):]]
+    assert tail_rounds == sorted(tail_rounds)
 
 
 def test_driver_verified_reads_round_files():
