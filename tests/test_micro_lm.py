@@ -199,3 +199,38 @@ def test_cross_engine_parity_hostile_unicode(spark, tmp_path):
         got = sorted(tuple(r) for r in spark_df.collect())
         want = sorted(tuple(r) for r in con.sql(sql).fetchall())
         assert got == want
+
+
+def test_langid_scores_match_pure_python(spark):
+    """Third engine: recompute per-document score sums in pure Python
+    (same md5 buckets, same weight freeze) and require exact equality
+    with the Spark frame — triangulates Spark, DuckDB, and Python."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefghij mnopqrstuv "
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = micro_lm.langid_weights_micros()
+
+    def py_score(text):
+        norm = micro_lm._py_langid_norm(text)
+        grams = [norm[i : i + 3] for i in range(len(norm) - 2)]
+        sums = {
+            lang: sum(
+                w[lang][micro_lm._py_bucket(g, micro_lm.LANGID_B)]
+                for g in grams
+            )
+            for lang in LANGS
+        }
+        return len(grams), sums
+
+    got = {r["doc_id"]: r for r in micro_lm.langid_model_scores(df).collect()}
+    for i, text in rows:
+        n, sums = py_score(text)
+        assert got[i]["n_grams"] == n, i
+        for lang in LANGS:
+            assert got[i][f"s_{lang}"] == sums[lang], (i, lang)
