@@ -461,6 +461,7 @@ def full_pipeline_micro(
 
     Columns: doc_id, lang_pred, lang_conf, ppl, <5 dimensions>,
     total_score, rating, keep, drop_reasons (comma-joined)."""
+    from metadata_quality_stack_spark import config
     from metadata_quality_stack_spark.operators.rules import (
         _as_pct,
         final_scores,
@@ -468,33 +469,48 @@ def full_pipeline_micro(
     )
 
     model = micro_model_columns(docs)
-    df1 = docs.join(model, "doc_id")
     # absent metadata columns make their presence-rules vacuously pass,
     # same contract as rules.native_rule_percentages
     meta_cols = {
         k: (k if k in docs.columns else None)
         for k in ("lang", "source", "n_chars")
     }
+    # Native heuristic pcts are staged MAP-ONLY on the docs scan, then
+    # only (doc_id, lang, ~15 pct doubles) cross the doc_id Exchange into
+    # the model join — text never shuffles (the model side is two
+    # groupBy(doc_id) aggregates, so the join is unavoidable; its width
+    # is not).
+    rules = config.RULES_BY_PROFILE[profile]
+    native_ids = {r["id"] for r in rules if r.get("kind") != "model"}
+    natived = scoring_stages(
+        docs, "text", meta_cols, profile, rule_ids=native_ids
+    )
+    narrow_cols = ["doc_id"]
+    if meta_cols["lang"]:
+        narrow_cols.append(meta_cols["lang"])
+    narrow_cols += [f"pct_{r['id']}" for r in rules if r["id"] in native_ids]
+    joined = natived.select(*narrow_cols).join(model, "doc_id")
 
-    def model_pcts(meta):
-        lang_col = meta["lang"]
-        return {
-            "langid_match": (
-                F.lit(0.0)
-                if lang_col is None
-                else _as_pct(
-                    lang_col.isNotNull() & (F.col("lang_pred") == lang_col)
-                )
-            ),
-            "langid_confidence": F.least(
-                F.greatest(F.col("lang_conf"), F.lit(0.0)), F.lit(1.0)
-            ),
-            "perplexity_ok": _as_pct(
-                F.col("ppl") <= F.lit(MICRO_PERPLEXITY_MAX)
-            ),
-        }
-
-    with_pcts = scoring_stages(df1, "text", meta_cols, profile, extra_pcts=model_pcts)
+    lang_col = F.col(meta_cols["lang"]) if meta_cols["lang"] else None
+    model_pcts = {
+        "langid_match": (
+            F.lit(0.0)
+            if lang_col is None
+            else _as_pct(lang_col.isNotNull() & (F.col("lang_pred") == lang_col))
+        ),
+        "langid_confidence": F.least(
+            F.greatest(F.col("lang_conf"), F.lit(0.0)), F.lit(1.0)
+        ),
+        "perplexity_ok": _as_pct(F.col("ppl") <= F.lit(MICRO_PERPLEXITY_MAX)),
+    }
+    with_pcts = joined.select(
+        "*",
+        *[
+            model_pcts[r["id"]].alias(f"pct_{r['id']}")
+            for r in rules
+            if r["id"] not in native_ids
+        ],
+    )
     scored = final_scores(
         with_pcts, ["doc_id", "lang_pred", "lang_conf", "ppl"], profile
     )

@@ -217,10 +217,15 @@ def scoring_stages(
     meta_cols: dict[str, str],
     profile: str,
     extra_pcts=None,
+    rule_ids=None,
 ) -> DataFrame:
     """feats -> pcts staged projections; returns df carrying pct_<rule>
     columns for every rule of ``profile`` (model pcts via ``extra_pcts``:
-    fn(meta) -> dict of Columns evaluated against the feats stage)."""
+    fn(meta) -> dict of Columns evaluated against the feats stage).
+    ``rule_ids`` restricts the projected pct columns to a subset of the
+    profile's rules — callers whose model pcts only exist after a join
+    (the micro pipeline) stage the native pcts here and attach the model
+    pcts post-join, so text never crosses that join's Exchange."""
     carry = list(df.columns)
     meta = {k: (F.col(v) if v else None) for k, v in meta_cols.items()}
     # stage 0a: lower once; stage 0b: tokenize the lowered text ONCE
@@ -243,6 +248,8 @@ def scoring_stages(
     if extra_pcts:
         pcts.update(extra_pcts(meta))
     rules = config.RULES_BY_PROFILE[profile]
+    if rule_ids is not None:
+        rules = [r for r in rules if r["id"] in rule_ids]
     return stage(staged, carry, {f"pct_{r['id']}": pcts[r["id"]] for r in rules})
 
 
