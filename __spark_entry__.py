@@ -404,6 +404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["normalize_text"] = lambda s, d: textops.normalize_text(
         _t(s, d, "documents")
     )
+    # C4 line-level cleaning (terminal punct + min words + blocklists)
+    q["c4_line_filter"] = lambda s, d: textops.c4_line_filter(
+        _t(s, d, "documents")
+    )
     # FineWeb-style domain-level filtering: drop whole low-keep-rate
     # sources via a broadcast anti-join (threshold 0.8 splits sf0.01)
     q["source_quality_filter"] = lambda s, d: analytics.source_quality_filter(
@@ -1043,6 +1047,7 @@ WITH hs AS (SELECT DISTINCT {sketches._h60_sql('text')} AS h FROM documents)
 SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
 """
     o["normalize_text"] = textops.normalize_text_sql()
+    o["c4_line_filter"] = textops.c4_line_filter_sql()
     o["source_quality_filter"] = f"""
 WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
 rates AS (SELECT source,

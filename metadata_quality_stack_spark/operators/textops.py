@@ -490,3 +490,86 @@ SELECT doc_id, length({t})::BIGINT AS n_chars_raw,
        length({u})::BIGINT AS n_chars_clean, {u} AS clean_text
 FROM {table}
 """
+
+
+# C4 line-level cleaning (Raffel et al. arXiv:1910.10683 §2.2) — the
+# famous per-line stage BETWEEN whitespace canonicalization and scoring:
+# keep only "sentence-like" lines, then gate the page on what survived.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES_KEPT = 3
+C4_TERMINAL_RE = '[.!?"]$'  # ASCII subset of C4's terminal-punct set
+C4_LINE_BLOCK = "javascript"  # C4 drops any line mentioning it
+C4_PAGE_BLOCK = ["{", "lorem ipsum"]  # page-level drops (code / filler)
+
+
+def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4's line-level filter: a line survives iff it ends in terminal
+    punctuation, has >= 5 whitespace words, and does not mention
+    'javascript'; the page keep flag then requires >= 3 surviving lines
+    and no page-level blockers ('{' = code, 'lorem ipsum' = filler).
+    MAP-ONLY: one HOF filter over the per-doc line array — no explode,
+    no Exchange, text never leaves its scan partition (the per-line
+    lambdas bind only the lambda var, so the interpreted-HOF
+    re-evaluation trap does not apply). Complements
+    ``normalize_text`` (runs before) and ``dedup.drop_duplicated_lines``
+    (corpus-level; this is per-document).
+
+    Columns: doc_id, n_lines_raw, n_lines_kept, keep_page, clean_text.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n", -1)
+
+    def _clean(l):  # rtrim CR/space/tab, ltrim space/tab — dialect-shared
+        return F.regexp_replace(
+            F.regexp_replace(l, "[ \t\r]+$", ""), "^[ \t\r]+", ""
+        )
+
+    def _keep(l):
+        words = F.size(F.filter(F.split(l, " ", -1), lambda w: w != ""))
+        return (
+            l.rlike(C4_TERMINAL_RE)
+            & (words >= C4_MIN_WORDS_PER_LINE)
+            & ~F.contains(F.lower(l), F.lit(C4_LINE_BLOCK))
+        )
+
+    kept = F.filter(F.transform(lines, _clean), _keep)
+    low = F.lower(t)
+    page_ok = F.size(kept) >= C4_MIN_LINES_KEPT
+    for b in C4_PAGE_BLOCK:
+        page_ok = page_ok & ~F.contains(low, F.lit(b))
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines_raw"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        page_ok.alias("keep_page"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def c4_line_filter_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror — same clean/keep lambdas over string_split."""
+    t = f"coalesce({text_col}, '')"
+    clean = (
+        "list_transform(string_split({t}, chr(10)), l -> "
+        "regexp_replace(regexp_replace(l, '[ \\t\\r]+$', ''), '^[ \\t\\r]+', ''))"
+    ).format(t=t)
+    keep = (
+        f"list_filter({clean}, l -> "
+        f"regexp_matches(l, '[.!?\"]$') AND "
+        f"len(list_filter(string_split(l, ' '), w -> w != '')) >= "
+        f"{C4_MIN_WORDS_PER_LINE} AND "
+        f"NOT contains(lower(l), '{C4_LINE_BLOCK}'))"
+    )
+    blocks = " AND ".join(
+        f"NOT contains(lower(t), '{b}')" for b in C4_PAGE_BLOCK
+    )
+    return f"""
+WITH k AS (SELECT doc_id, {t} AS t,
+                  len(string_split({t}, chr(10)))::BIGINT AS n_lines_raw,
+                  {keep} AS kept
+           FROM {table})
+SELECT doc_id, n_lines_raw, len(kept)::BIGINT AS n_lines_kept,
+       (len(kept) >= {C4_MIN_LINES_KEPT} AND {blocks}) AS keep_page,
+       coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS clean_text
+FROM k
+"""

@@ -128,3 +128,70 @@ def test_skew_report_recommends_salts(spark):
     assert r["p50_key_rows"] == 1.0
     assert r["recommended_salts"] == 17
     assert abs(r["skew_factor"] - 16.8) < 0.01
+
+def test_c4_line_filter_semantics_and_parity(spark):
+    """C4 §2.2 line rules on hostile rows, plus direct Spark<->DuckDB
+    parity of the full output (the gate corpus never contains CRs,
+    tabs-in-words, or all-dropped pages)."""
+    import duckdb
+    import pandas as pd
+
+    from metadata_quality_stack_spark.operators import textops
+
+    rows = [
+        # 3 sentence-like lines + 1 short line -> page kept, short dropped
+        (1, "This is a good long sentence here.\nshort.\n"
+            "Another quite long proper sentence ends well!\n"
+            "And a third full sentence survives the filter too."),
+        # javascript line + unterminated line -> nothing survives
+        (2, "Enable JavaScript to view this page properly please.\n"
+            "no terminal punct here at all"),
+        (3, None),
+        # curly brace kills the page even with 3 surviving lines
+        (4, "A page with curly { brace gets dropped even with lines.\n"
+            "Second proper sentence is here for the count now.\n"
+            "Third proper sentence is also here for the count."),
+        # edge whitespace/CR trimmed per line; only 2 survivors -> drop
+        (5, "   Trailing spaces line ends with a period and words.   \n"
+            "\rCR-terminated proper sentence should be kept fine.\r"),
+        (6, ""),
+        # quote and ellipsis count as terminal punctuation
+        (7, "Tab\tseparated words count as five words total.\n"
+            '"Quoted line with enough words ends in a quote."\n'
+            "Ellipsis line with plenty of words trails off...\n"
+            "Fourth sentence with many words makes the cut easily."),
+        # lorem ipsum page blocker
+        (8, "Lorem ipsum dolor sit amet consectetur adipiscing elit now.\n"
+            "Second proper sentence is here for the count now.\n"
+            "Third proper sentence is also here for the count."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.c4_line_filter(df).collect()}
+    assert out[1]["keep_page"] and out[1]["n_lines_kept"] == 3
+    assert "short." not in out[1]["clean_text"]
+    assert out[2]["n_lines_kept"] == 0 and not out[2]["keep_page"]
+    assert out[3]["clean_text"] == "" and not out[3]["keep_page"]
+    assert out[4]["n_lines_kept"] == 3 and not out[4]["keep_page"]
+    assert out[5]["n_lines_kept"] == 2 and not out[5]["keep_page"]
+    assert out[5]["clean_text"].startswith("Trailing")  # edges trimmed
+    assert out[7]["keep_page"] and out[7]["n_lines_kept"] == 4
+    assert not out[8]["keep_page"]  # lorem ipsum blocker
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(textops.c4_line_filter_sql()).fetchall()
+    }
+    for k, r in out.items():
+        assert duck[k] == (
+            r["n_lines_raw"], r["n_lines_kept"], r["keep_page"], r["clean_text"]
+        ), k
+
+
+def test_c4_line_filter_is_map_only(spark):
+    from metadata_quality_stack_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = textops.c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
