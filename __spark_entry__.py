@@ -261,6 +261,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blocklist_filter"] = blocklist_q
 
+    # FineWeb-style per-domain cap: ≤5 pages per domain, hash-priority;
+    # two-phase skew-proof plan must equal the oracle's single window
+    q["domain_cap"] = lambda s, d: urlops.domain_cap(
+        _pages_with_url(s, d), k=5
+    )
+
+    # crawl-over-crawl delta: overlapping doc_id ranges make all four
+    # statuses reachable at sf0.01 — 100..299 sits in both snapshots
+    # (unchanged), 300..399 only in new (added), 0..99 only in old
+    # (removed UNLESS its url collides with a 400..499 page via the
+    # doc_id % 400 key and different text -> changed)
+    def snapshot_diff_q(s: SparkSession, d: str) -> DataFrame:
+        pages = _t(s, d, "documents").select(
+            "doc_id",
+            "text",
+            urlops.normalize_url(F.expr(SYN_URL_SQL)).alias("url_norm"),
+        )
+        old = pages.filter(F.col("doc_id") < 300)
+        new = pages.filter(F.col("doc_id") >= 100)
+        return urlops.snapshot_diff(old, new)
+
+    q["snapshot_diff"] = snapshot_diff_q
+
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
     q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
     q["latest_event_per_user"] = lambda s, d: analytics.latest_event_per_user(
@@ -1679,6 +1702,15 @@ n AS (SELECT doc_id, source,
       FROM pages)
 SELECT doc_id, source FROM n WHERE domain NOT IN ({blocked_list})
 """
+    o["domain_cap"] = urlops.domain_cap_sql(syn_pages, k=5)
+    _snap = (
+        f"SELECT doc_id, text, {url_norm} AS url_norm "
+        f"FROM (SELECT doc_id, text, {SYN_URL_SQL} AS url FROM documents)"
+    )
+    o["snapshot_diff"] = urlops.snapshot_diff_sql(
+        f"SELECT * FROM ({_snap}) WHERE doc_id < 300",
+        f"SELECT * FROM ({_snap}) WHERE doc_id >= 100",
+    )
 
     # -- training-data pipeline additions (round 2)
     o["term_stats"] = textops.term_stats_sql()

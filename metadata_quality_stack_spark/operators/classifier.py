@@ -314,9 +314,9 @@ def classifier_pr_sweep_sql(
 WITH scored AS ({classifier_scores_sql(table, rounds)}),
 th AS (SELECT unnest([{th}])::BIGINT AS threshold)
 SELECT threshold,
-  coalesce(sum(((score_micros > threshold) AND label = 1)::BIGINT), 0) AS tp,
-  coalesce(sum(((score_micros > threshold) AND label = 0)::BIGINT), 0) AS fp,
-  coalesce(sum((NOT (score_micros > threshold) AND label = 1)::BIGINT), 0) AS fn,
-  coalesce(sum((NOT (score_micros > threshold) AND label = 0)::BIGINT), 0) AS tn
+  coalesce(sum(((score_micros > threshold) AND label = 1)::BIGINT), 0)::BIGINT AS tp,
+  coalesce(sum(((score_micros > threshold) AND label = 0)::BIGINT), 0)::BIGINT AS fp,
+  coalesce(sum((NOT (score_micros > threshold) AND label = 1)::BIGINT), 0)::BIGINT AS fn,
+  coalesce(sum((NOT (score_micros > threshold) AND label = 0)::BIGINT), 0)::BIGINT AS tn
 FROM scored, th GROUP BY threshold
 """

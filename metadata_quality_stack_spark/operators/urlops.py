@@ -208,3 +208,137 @@ def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+def domain_cap(
+    pages: DataFrame,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """FineWeb-style per-domain document cap: keep at most ``k`` pages
+    per registered domain, priority = smallest md5-derived hash of the
+    canonical url (deterministic and crawl-order-free; ``id_col``
+    breaks exact-hash ties). Caps the boilerplate-heavy mega-domains a
+    Zipf crawl otherwise floods the corpus with (reference analog: the
+    per-catalog record cap in its batch evaluator; FineWeb §3.4 is the
+    public recipe).
+
+    Skew shape at 100 TB: ONE global window over a Zipf key is the
+    canonical straggler — the hottest domain lands on a single task.
+    The plan here is TWO-PHASE: a partial cap within (domain, salt)
+    first, salt = id % S, so any domain enters the final exchange with
+    at most S*k rows no matter how many it started with; then the
+    exact per-domain window runs on that bounded survivor set. Phase 1
+    keeps a SUPERSET of the global top-k (any row in a domain's global
+    top-k is in the top-k of its own salt bucket), so the two-phase
+    result is identical to the single-window formulation the oracle
+    states — asserted in tests/test_urlops.py.
+
+    Columns: doc_id, domain, rk (1-based keep rank within domain).
+    """
+    from pyspark.sql import Window
+
+    u = normalize_url(F.col(url_col))
+    base = pages.select(
+        F.col(id_col).alias("doc_id"),
+        domain_of(u).alias("domain"),
+        _h60_url(u).alias("_pri"),
+    )
+    partial = Window.partitionBy(
+        "domain", (F.col("doc_id") % salt_buckets).alias("_salt")
+    ).orderBy("_pri", "doc_id")
+    survivors = base.withColumn(
+        "_prk", F.row_number().over(partial)
+    ).where(F.col("_prk") <= k)
+    exact = Window.partitionBy("domain").orderBy("_pri", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(exact).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "domain", "rk")
+    )
+
+
+def _h60_url(col: Column) -> Column:
+    """60-bit md5 priority hash (same family as sketches._h60; local
+    copy avoids a circular import)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def domain_cap_sql(syn_pages: str, k: int) -> str:
+    """DuckDB mirror — the SINGLE-window statement of the semantics the
+    two-phase plan must reproduce exactly."""
+    return f"""
+WITH pages AS ({syn_pages}),
+n AS (SELECT doc_id,
+        regexp_replace(regexp_extract({normalize_url_sql('url')},
+                       '^([^/?&]+)', 1), ':[0-9]+$', '') AS domain,
+        (('0x' || substr(md5({normalize_url_sql('url')}), 1, 15))::BIGINT)
+          AS pri
+      FROM pages),
+r AS (SELECT doc_id, domain,
+        row_number() OVER (PARTITION BY domain ORDER BY pri, doc_id) AS rk
+      FROM n)
+SELECT doc_id, domain, rk FROM r WHERE rk <= {k}
+"""
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url_norm",
+    content_col: str = "text",
+) -> DataFrame:
+    """Crawl-over-crawl delta: classify every canonical url as added /
+    removed / changed / unchanged between two snapshots and count each
+    class — the readout an ingest pipeline checks before paying for a
+    full re-score of the new crawl (recrawl churn is typically a small
+    fraction of the corpus).
+
+    Scale shape: each side first collapses to ONE slim row per url
+    (url, min content-hash — min() makes multi-capture urls
+    deterministic), so the full-outer join exchanges 8-byte hashes
+    keyed by url; document text never moves. Status derives from hash
+    presence/equality; the final count is a 4-key aggregate.
+
+    Columns: status, n_urls.
+    """
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(url_col).alias("url_norm"),
+                _h60_url(F.col(content_col)).alias(out),
+            )
+            .groupBy("url_norm")
+            .agg(F.min(out).alias(out))
+        )
+
+    j = side(old, "h_old").join(side(new, "h_new"), "url_norm", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def snapshot_diff_sql(old_pages: str, new_pages: str) -> str:
+    h = "(('0x' || substr(md5(text), 1, 15))::BIGINT)"
+    return f"""
+WITH a AS (SELECT url_norm, min({h}) AS h_old FROM ({old_pages}) GROUP BY 1),
+b AS (SELECT url_norm, min({h}) AS h_new FROM ({new_pages}) GROUP BY 1),
+j AS (SELECT CASE WHEN h_old IS NULL THEN 'added'
+                  WHEN h_new IS NULL THEN 'removed'
+                  WHEN h_old <> h_new THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b USING (url_norm))
+SELECT status, count(*) AS n_urls FROM j GROUP BY status
+"""

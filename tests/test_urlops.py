@@ -147,3 +147,69 @@ def test_dedup_plan_partial_agg_single_exchange(spark):
     # — in particular not the unused n_chars column
     exchange_line = next(l for l in plan.splitlines() if "Exchange" in l)
     assert "n_chars" not in exchange_line and "url_norm" in exchange_line
+
+
+def test_domain_cap_two_phase_equals_single_window(spark):
+    # 600 synthetic pages over 3 domains with a hot one (d0 gets ~80%);
+    # the two-phase salted plan must reproduce the naive single window
+    # exactly (same kept doc_ids, same ranks)
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(600):
+        dom = "d0" if i % 5 != 0 else f"d{1 + i % 2}"
+        rows.append((i, f"https://{dom}.ex.com/p/{i}"))
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    got = urlops.domain_cap(pages, k=7, salt_buckets=4).collect()
+
+    u = urlops.normalize_url(F.col("url"))
+    naive = (
+        pages.select(
+            "doc_id",
+            urlops.domain_of(u).alias("domain"),
+            urlops._h60_url(u).alias("pri"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.partitionBy("domain").orderBy("pri", "doc_id"))
+            .cast("long"),
+        )
+        .where(F.col("rk") <= 7)
+        .select("doc_id", "domain", "rk")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+    per_domain = {}
+    for r in got:
+        per_domain[r.domain] = per_domain.get(r.domain, 0) + 1
+    assert all(v <= 7 for v in per_domain.values())
+    assert per_domain["d0.ex.com"] == 7  # the hot domain is actually capped
+
+
+def test_domain_cap_phase1_bounds_survivors(spark):
+    # phase 1 must bound any domain's final-exchange rows to S*k —
+    # asserted by running phase 1 alone via a tiny salt count
+    rows = [(i, "https://hot.ex.com/p/%d" % i) for i in range(200)]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    out = urlops.domain_cap(pages, k=3, salt_buckets=2)
+    assert out.count() == 3
+    # survivor bound: with S=2,k=3 at most 6 rows reach the exact window;
+    # equality of results vs naive is covered above, here we check the
+    # plan has two window nodes (partial + exact), i.e. the two-phase
+    # shape is really in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone"), ("u2", "before2")],
+        "url_norm string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url_norm string, text string",
+    )
+    got = {r.status: r.n_urls for r in urlops.snapshot_diff(old, new).collect()}
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
