@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from metadata_quality_stack_spark import config
 from metadata_quality_stack_spark.operators import (
     analytics,
+    bloom,
     classifier,
     contamination,
     dedup,
@@ -283,6 +284,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return urlops.snapshot_diff(old, new)
 
     q["snapshot_diff"] = snapshot_diff_q
+
+    # Bloom pre-filter over canonical urls: bitmap built on the first
+    # 300 docs' urls, the rest probed map-only; cross-range collisions
+    # via the doc_id % 400 page key give true positives at sf0.01
+    def bloom_probe_q(s: SparkSession, d: str) -> DataFrame:
+        pages = _t(s, d, "documents").select(
+            "doc_id",
+            urlops.normalize_url(F.expr(SYN_URL_SQL)).alias("url_norm"),
+        )
+        bitmap = bloom.bloom_build(
+            pages.filter(F.col("doc_id") < 300), col="url_norm"
+        )
+        return bloom.bloom_probe(
+            pages.filter(F.col("doc_id") >= 300), bitmap, col="url_norm"
+        ).select("doc_id", "maybe_dup")
+
+    q["bloom_url_probe"] = bloom_probe_q
 
     # -- analytics over raw tables (A6-A12, P4, J5, O1-O3)
     q["lang_histogram"] = lambda s, d: analytics.lang_histogram(_t(s, d, "documents"))
@@ -1710,6 +1728,11 @@ SELECT doc_id, source FROM n WHERE domain NOT IN ({blocked_list})
     o["snapshot_diff"] = urlops.snapshot_diff_sql(
         f"SELECT * FROM ({_snap}) WHERE doc_id < 300",
         f"SELECT * FROM ({_snap}) WHERE doc_id >= 100",
+    )
+    o["bloom_url_probe"] = bloom.bloom_probe_sql(
+        f"SELECT * FROM ({_snap}) WHERE doc_id < 300",
+        f"SELECT * FROM ({_snap}) WHERE doc_id >= 300",
+        col="url_norm",
     )
 
     # -- training-data pipeline additions (round 2)
