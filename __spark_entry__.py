@@ -395,6 +395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shuffle_shards"] = lambda s, d: sampling.shuffle_shards(
         _t(s, d, "documents")
     )
+    # GPT-3/Pile temperature mixture (alpha = 1/2: sqrt is the one
+    # float power IEEE rounds identically in both engines)
+    q["temperature_mix"] = lambda s, d: sampling.temperature_mix(
+        _t(s, d, "documents")
+    )
     # CCNet/LLaMA-style trained quality classifier (logistic regression
     # over hashed n-grams, K bounded-key gradient rounds; the oracle
     # replays the whole fit in chained CTEs)
@@ -409,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["quality_classifier_pr_sweep"] = (
         lambda s, d: classifier.classifier_pr_sweep(_t(s, d, "documents"))
+    )
+    q["quality_classifier_calibration"] = (
+        lambda s, d: classifier.classifier_calibration(_t(s, d, "documents"))
     )
     # Integer-micro SQL-oracled twins of the §2.9 model scorers: the
     # oracle RETRAINS each model from the embedded seed corpus in CTEs,
@@ -1072,10 +1080,14 @@ SELECT doc_id, source FROM (
     o["gopher_repetition_filter"] = gopher.gopher_repetition_filter_sql()
     o["gopher_repetition_fast"] = gopher.gopher_repetition_sql()
     o["shuffle_shards"] = sampling.shuffle_shards_sql()
+    o["temperature_mix"] = sampling.temperature_mix_sql()
     o["quality_classifier_weights"] = classifier.classifier_weights_sql()
     o["quality_classifier_scores"] = classifier.classifier_scores_sql()
     o["quality_classifier_confusion"] = classifier.classifier_confusion_sql()
     o["quality_classifier_pr_sweep"] = classifier.classifier_pr_sweep_sql()
+    o["quality_classifier_calibration"] = (
+        classifier.classifier_calibration_sql()
+    )
     o["langid_model_scores"] = micro_lm.langid_model_scores_sql()
     o["langid_model_histogram"] = micro_lm.langid_model_histogram_sql()
     o["perplexity_model_scores"] = micro_lm.perplexity_model_scores_sql()

@@ -320,3 +320,64 @@ SELECT threshold,
   coalesce(sum((NOT (score_micros > threshold) AND label = 0)::BIGINT), 0)::BIGINT AS tn
 FROM scored, th GROUP BY threshold
 """
+
+
+# Calibration bins: fixed logit-micro edges, CLAMPED to [0, n_bins-1] —
+# integer arithmetic end to end so both engines bin identically. Edges
+# sized to the micro-GD logit scale (residuals are x1e6, so K rounds
+# put logits in the tens of millions of micros; sf0.01 spans ~6M..78M).
+CALIB_LO = 0
+CALIB_WIDTH = 10_000_000
+CALIB_BINS = 8
+
+
+def classifier_calibration(
+    docs: DataFrame, rounds: int = TRAIN_ROUNDS
+) -> DataFrame:
+    """Reliability readout for the trained filter: bucket every
+    document's logit into fixed micro-width bins and count docs and
+    true positives per bin. A well-calibrated filter shows pos_rate
+    rising monotonically with the bin — the plot an operator checks
+    before trusting the PR sweep's threshold choice (CCNet §4.4 tunes
+    on exactly this curve; public).
+
+    Scale: one map-only scoring pass then a ≤ n_bins-key aggregate —
+    counts travel, documents don't. All-integer binning (floor div on
+    micros) keeps the two engines bit-identical.
+
+    Columns: bin, lo_micros, n_docs, n_pos."""
+    s = classifier_scores(docs, rounds)
+    raw = F.floor((F.col("score_micros") - CALIB_LO) / CALIB_WIDTH)
+    b = F.greatest(F.least(raw, F.lit(CALIB_BINS - 1)), F.lit(0)).cast(
+        "long"
+    )
+    return (
+        s.select(b.alias("bin"), "label")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * CALIB_WIDTH + CALIB_LO).alias("lo_micros"),
+            "n_docs",
+            "n_pos",
+        )
+    )
+
+
+def classifier_calibration_sql(
+    table: str = "documents", rounds: int = TRAIN_ROUNDS
+) -> str:
+    return f"""
+WITH scored AS ({classifier_scores_sql(table, rounds)}),
+b AS (SELECT greatest(least(
+        ((score_micros - {CALIB_LO}) // {CALIB_WIDTH}),
+        {CALIB_BINS - 1}), 0)::BIGINT AS bin, label
+      FROM scored)
+SELECT bin, (bin * {CALIB_WIDTH} + {CALIB_LO})::BIGINT AS lo_micros,
+       count(*)::BIGINT AS n_docs,
+       coalesce(sum(label), 0)::BIGINT AS n_pos
+FROM b GROUP BY bin
+"""

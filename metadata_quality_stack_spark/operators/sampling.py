@@ -419,3 +419,72 @@ SELECT doc_id, shard, shuffle_key,
        AS pos
 FROM k
 """
+
+
+def temperature_mix(
+    docs: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-based mixture weights across sources at alpha = 0.5
+    — the GPT-3 / Pile recipe (Brown et al. arXiv:2005.14165 Table 2.2;
+    Gao et al. arXiv:2101.00027 §1): sampling probability proportional
+    to size^alpha, which up-weights small curated sources and damps the
+    raw-crawl bulk. Output feeds a weighted sampler (e.g. dsir_sample's
+    Gumbel top-k) or a per-source epoch planner.
+
+    Cross-engine exactness with a float power: alpha = 1/2 makes the
+    weight sqrt(size), and IEEE-754 sqrt is CORRECTLY ROUNDED — the one
+    power both engines compute bit-identically. Each source's weight is
+    floored to integer micros immediately (one multiply + floor, both
+    exactly mirrored), so the normalizing sum is an INTEGER sum —
+    order-independent, hence safe to aggregate distributed — and the
+    final share is integer division to parts-per-million.
+
+    Scale: one partial-agged groupBy over the source key, then a 1-row
+    total broadcast-joined back. Source/domain counts are bounded
+    (thousands), so the readout is tiny no matter the corpus size.
+
+    Columns: source, n_docs, size_units, w_micros, p_ppm.
+    """
+    per = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(weight_col), F.lit(0)).alias("size_units"),
+    )
+    w = F.floor(
+        F.sqrt(F.col("size_units").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    weighted = per.withColumn("w_micros", w)
+    total = weighted.agg(F.sum("w_micros").alias("_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "size_units",
+            "w_micros",
+            F.expr("(w_micros * 1000000) div _tot").alias("p_ppm"),
+        )
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS source, count(*)::BIGINT AS n_docs,
+         coalesce(sum({weight_col}), 0)::BIGINT AS size_units
+  FROM {table} GROUP BY 1
+),
+w AS (SELECT source, n_docs, size_units,
+        CAST(floor(sqrt(size_units::DOUBLE) * 1000000.0) AS BIGINT)
+          AS w_micros
+      FROM per),
+t AS (SELECT sum(w_micros)::BIGINT AS tot FROM w)
+SELECT source, n_docs, size_units, w_micros,
+       ((w_micros * 1000000) // tot)::BIGINT AS p_ppm
+FROM w, t
+"""

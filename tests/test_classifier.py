@@ -116,3 +116,15 @@ def test_pr_sweep_counts(corpus):
     ts = sorted(rows)
     tps = [rows[t]["tp"] for t in ts]
     assert tps == sorted(tps, reverse=True)
+
+
+def test_calibration_bins_partition_the_corpus(corpus):
+    rows = classifier.classifier_calibration(corpus).collect()
+    assert sum(r["n_docs"] for r in rows) == corpus.count()
+    assert sum(r["n_pos"] for r in rows) == 40  # all positives binned
+    for r in rows:
+        assert 0 <= r["bin"] < classifier.CALIB_BINS
+        assert r["lo_micros"] == (
+            r["bin"] * classifier.CALIB_WIDTH + classifier.CALIB_LO
+        )
+        assert 0 <= r["n_pos"] <= r["n_docs"]

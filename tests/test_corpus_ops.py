@@ -402,3 +402,27 @@ def test_shuffle_shards_single_exchange(spark, capsys):
     sampling.shuffle_shards(docs).explain("formatted")
     plan = capsys.readouterr().out
     assert plan.count("Exchange (") == 1
+
+
+def test_temperature_mix_shares(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "s_big" if i < 900 else "s_small", 100) for i in range(1000)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = {r["source"]: r for r in sampling.temperature_mix(docs).collect()}
+    big, small = rows["s_big"], rows["s_small"]
+    # sqrt damping: the 9x-bigger source gets only 3x the share
+    assert big["n_docs"] == 900 and small["n_docs"] == 100
+    assert abs(big["p_ppm"] / small["p_ppm"] - 3.0) < 0.01
+    # shares are ppm and sum to ~1e6 (floor division loses < n_sources)
+    total = big["p_ppm"] + small["p_ppm"]
+    assert 1_000_000 - 2 <= total <= 1_000_000
+    # exactness pin vs python: same floor(sqrt(size)*1e6) micros
+    import math
+
+    for r in rows.values():
+        assert r["w_micros"] == math.floor(
+            math.sqrt(r["size_units"]) * 1_000_000.0
+        )
