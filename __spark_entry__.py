@@ -400,6 +400,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["temperature_mix"] = lambda s, d: sampling.temperature_mix(
         _t(s, d, "documents")
     )
+    # Gopher stopword rule per-language (the doc's own lang's set)
+    q["lang_stopword_density"] = lambda s, d: textops.lang_stopword_density(
+        _t(s, d, "documents")
+    )
+    # data-derived per-lang length cutoffs (histogram, no per-doc sort)
+    q["length_outlier_trim"] = lambda s, d: sampling.length_outlier_trim(
+        _t(s, d, "documents")
+    )
     # CCNet/LLaMA-style trained quality classifier (logistic regression
     # over hashed n-grams, K bounded-key gradient rounds; the oracle
     # replays the whole fit in chained CTEs)
@@ -1081,6 +1089,8 @@ SELECT doc_id, source FROM (
     o["gopher_repetition_fast"] = gopher.gopher_repetition_sql()
     o["shuffle_shards"] = sampling.shuffle_shards_sql()
     o["temperature_mix"] = sampling.temperature_mix_sql()
+    o["lang_stopword_density"] = textops.lang_stopword_density_sql()
+    o["length_outlier_trim"] = sampling.length_outlier_trim_sql()
     o["quality_classifier_weights"] = classifier.classifier_weights_sql()
     o["quality_classifier_scores"] = classifier.classifier_scores_sql()
     o["quality_classifier_confusion"] = classifier.classifier_confusion_sql()

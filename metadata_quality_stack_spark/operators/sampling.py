@@ -488,3 +488,100 @@ SELECT source, n_docs, size_units, w_micros,
        ((w_micros * 1000000) // tot)::BIGINT AS p_ppm
 FROM w, t
 """
+
+
+def length_outlier_trim(
+    docs: DataFrame,
+    len_col: str = "n_chars",
+    group_col: str = "lang",
+    pct: int = 1,
+) -> DataFrame:
+    """Per-language length-outlier trim: drop documents STRICTLY below
+    the group's p{pct} length value or strictly above its p{100-pct}
+    value (ties at the cutoff survive, so the rule is a pure value
+    threshold). The C4/Gopher min/max-length rules with data-derived
+    cutoffs instead of global constants — a 50-char page is an outlier
+    in English but not necessarily in Chinese.
+
+    Scale shape — deliberately NOT a per-document rank window (a global
+    sort per language is the straggler at 10^12 docs, and `lang` is the
+    canonical skewed key): pass 1 collapses the corpus to a (lang,
+    length) HISTOGRAM — bounded by #langs x #distinct-lengths, not by
+    rows — whose cumulative counts yield each group's two cutoff VALUES
+    (a tiny window over the histogram); pass 2 broadcast-joins the
+    #langs-row cutoff table back and filters map-side. Integer
+    arithmetic only (rank_lo = n*pct//100), so both engines cut
+    identically.
+
+    Columns: doc_id, lang, n_chars, keep.
+    """
+    hist = docs.groupBy(group_col, len_col).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy(len_col)
+    cum = hist.select(
+        group_col,
+        len_col,
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    # lo cutoff: smallest value whose cumulative count exceeds n*pct//100
+    # (i.e. the p{pct} value); hi cutoff: smallest value with
+    # cum >= n - n*pct//100 (the p{100-pct} value)
+    cuts = (
+        cum.select(
+            group_col,
+            len_col,
+            (F.col("cum") > F.expr(f"(n * {pct}) div 100")).alias("_lo_ok"),
+            (F.col("cum") >= F.col("n") - F.expr(f"(n * {pct}) div 100")).alias(
+                "_hi_ok"
+            ),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min(F.when(F.col("_lo_ok"), F.col(len_col))).alias("lo_val"),
+            F.min(F.when(F.col("_hi_ok"), F.col(len_col))).alias("hi_val"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(cuts), group_col, "left")
+        .select(
+            "doc_id",
+            group_col,
+            len_col,
+            (
+                (F.col(len_col) >= F.col("lo_val"))
+                & (F.col(len_col) <= F.col("hi_val"))
+            ).alias("keep"),
+        )
+    )
+
+
+def length_outlier_trim_sql(
+    table: str = "documents",
+    len_col: str = "n_chars",
+    group_col: str = "lang",
+    pct: int = 1,
+) -> str:
+    return f"""
+WITH hist AS (
+  SELECT {group_col}, {len_col}, count(*)::BIGINT AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+cum AS (
+  SELECT {group_col}, {len_col},
+         sum(cnt) OVER (PARTITION BY {group_col}
+                        ORDER BY {len_col}) AS cum,
+         sum(cnt) OVER (PARTITION BY {group_col}) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT {group_col},
+         min(CASE WHEN cum > (n * {pct}) // 100 THEN {len_col} END)
+           AS lo_val,
+         min(CASE WHEN cum >= n - (n * {pct}) // 100 THEN {len_col} END)
+           AS hi_val
+  FROM cum GROUP BY 1
+)
+SELECT doc_id, d.{group_col}, {len_col},
+       ({len_col} >= lo_val AND {len_col} <= hi_val) AS keep
+FROM {table} d LEFT JOIN cuts USING ({group_col})
+"""

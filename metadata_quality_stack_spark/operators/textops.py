@@ -573,3 +573,103 @@ SELECT doc_id, n_lines_raw, len(kept)::BIGINT AS n_lines_kept,
        coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS clean_text
 FROM k
 """
+
+
+def lang_stopword_density(
+    docs: DataFrame,
+    min_distinct: int = 2,
+    min_density_ppm: int = 20_000,
+) -> DataFrame:
+    """Language-AWARE stopword gate: score each document against the
+    stopword set of its OWN declared language — the Gopher stop-word
+    rule (arXiv:2112.11446 A1.1: ≥2 of a tiny stopword list) applied
+    per language instead of English-only, which is what stops the
+    English rule from mass-dropping correct French/German/Chinese pages
+    in a multilingual crawl.
+
+    Plan shape: the per-lang set arrives via ONE staged map-literal
+    lookup (``_sw`` below) and the hit count is a single filter/size
+    over the token array — staging the lookup outside the lambda keeps
+    the map literal from being re-evaluated per element (the
+    interpreted-HOF re-evaluation trap; see gopher.py). Map-only, no
+    shuffle; integer ppm, no float division.
+
+    Columns: doc_id, lang, n_words, sw_hits, sw_distinct, density_ppm,
+    keep. Unknown lang -> null counts, keep=false (score it with the
+    model scorer instead).
+    """
+    lows = F.transform(token_array(F.col("text")), lambda x: F.lower(x))
+    sw_map = F.create_map(
+        *[
+            c
+            for lang, sw in config.STOPWORDS_BY_LANG.items()
+            for c in (F.lit(lang), F.array(*[F.lit(s) for s in sw]))
+        ]
+    )
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        lows.alias("_lows"),
+        F.element_at(sw_map, F.col("lang")).alias("_sw"),
+    )
+    hits_arr = F.filter(
+        F.col("_lows"), lambda x: F.array_contains(F.col("_sw"), x)
+    )
+    n_words = F.size(F.col("_lows")).cast("long")
+    staged2 = staged.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.when(
+            F.col("_sw").isNotNull(), F.size(hits_arr).cast("long")
+        ).alias("sw_hits"),
+        F.when(
+            F.col("_sw").isNotNull(),
+            F.size(F.array_distinct(hits_arr)).cast("long"),
+        ).alias("sw_distinct"),
+    )
+    density = F.when(
+        F.col("n_words") > 0,
+        F.expr("(sw_hits * 1000000) div n_words"),
+    )
+    return staged2.select(
+        "*",
+        density.alias("density_ppm"),
+        (
+            (F.col("sw_distinct") >= min_distinct)
+            & (density >= min_density_ppm)
+        ).alias("keep"),
+    )
+
+
+def lang_stopword_density_sql(
+    table: str = "documents",
+    min_distinct: int = 2,
+    min_density_ppm: int = 20_000,
+) -> str:
+    lows = _lows_sql()
+    case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {_sql_list(sw)}"
+            for lang, sw in config.STOPWORDS_BY_LANG.items()
+        )
+        + " END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {lows} AS lows, {case} AS sw FROM {table}),
+h AS (SELECT doc_id, lang, len(lows)::BIGINT AS n_words,
+        CASE WHEN sw IS NOT NULL THEN
+          len(list_filter(lows, x -> list_contains(sw, x)))::BIGINT END
+          AS sw_hits,
+        CASE WHEN sw IS NOT NULL THEN
+          len(list_distinct(list_filter(lows, x -> list_contains(sw, x))))
+          ::BIGINT END AS sw_distinct
+      FROM t),
+d AS (SELECT *, CASE WHEN n_words > 0
+        THEN (sw_hits * 1000000) // n_words END AS density_ppm FROM h)
+SELECT doc_id, lang, n_words, sw_hits, sw_distinct, density_ppm,
+       (sw_distinct >= {min_distinct}
+        AND density_ppm >= {min_density_ppm}) AS keep
+FROM d
+"""

@@ -426,3 +426,40 @@ def test_temperature_mix_shares(spark):
         assert r["w_micros"] == math.floor(
             math.sqrt(r["size_units"]) * 1_000_000.0
         )
+
+
+def test_lang_stopword_density_hostile_and_semantics(spark):
+    from metadata_quality_stack_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog in the house", "en"),
+            (1, "el perro y la casa de que", "es"),
+            (2, "the cat and the dog", "xx"),   # unknown lang
+            (3, "", "en"),                       # empty text
+            (4, "zzz yyy xxx", "en"),            # zero stopwords
+            (5, "the the the the", "en"),        # 1 distinct stopword
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r for r in textops.lang_stopword_density(docs).collect()}
+    assert got[0].keep and got[0].sw_hits == 5  # the x3 + and + in
+    assert got[1].keep
+    assert got[2].sw_hits is None and got[2].keep is None
+    assert got[3].n_words == 0 and not got[3].keep
+    assert got[4].sw_hits == 0 and not got[4].keep
+    assert got[5].sw_distinct == 1 and not got[5].keep
+
+
+def test_length_outlier_trim_cuts_tails(spark):
+    from metadata_quality_stack_spark.operators import sampling
+
+    rows = [(i, "en", 100 + i) for i in range(200)]        # 100..299
+    rows += [(1000, "en", 1), (1001, "en", 100000)]        # outliers
+    rows += [(2000, "zh", 50)]                             # singleton group
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r.doc_id: r.keep for r in sampling.length_outlier_trim(docs).collect()}
+    assert not got[1000] and not got[1001]        # tails trimmed
+    assert got[2000]                              # n=1 group keeps its doc
+    kept = sum(1 for v in got.values() if v)
+    assert kept >= 198                            # ~2% trimmed at most
