@@ -136,9 +136,10 @@ def main() -> None:
 
     # the SQL-oracled micro pipeline (correctness spine, r4) measured on
     # the SAME pages corpus as the flagship, reported OUTSIDE `queries`
-    # so bench_total stays comparable across rounds. Expected slower than
-    # the fused-UDF path (explode + joins vs one Arrow crossing) — the
-    # number documents the price of full oracle-ability.
+    # so bench_total stays comparable across rounds. Map-only since the
+    # scorers became literal-array folds (zero Exchange, like the UDF
+    # path); still slower than the fused Arrow crossing — one md5 per
+    # gram is the price of cross-engine oracle-ability.
     from metadata_quality_stack_spark.operators import micro_lm
 
     micro_src = corpus.select(

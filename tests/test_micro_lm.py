@@ -88,18 +88,20 @@ def test_perplexity_orders_clean_below_gibberish(docs):
     assert out[12]["n_tokens"] == 1
 
 
-def test_scores_are_broadcast_join_plans(docs, capsys):
-    """Both scorers must broadcast the weight tables (KB-sized) — a
+def test_scores_are_map_only_plans(docs, capsys):
+    """Both scorers are literal-array folds (r4): the weight tables ride
+    the plan as array literals, so there is NO join and NO shuffle at
+    all — strictly stronger than the r3 broadcast-join assertion (a
     shuffled join of the exploded gram stream would be the 100 TB
-    mistake."""
+    mistake; now even the broadcast and the doc_id re-agg are gone)."""
     for df in (
         micro_lm.langid_model_scores(docs),
         micro_lm.perplexity_model_scores(docs),
     ):
         df.explain("formatted")
         plan = capsys.readouterr().out
-        assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        assert "Join" not in plan
+        assert "Exchange" not in plan
 
 
 def test_scores_deterministic(docs):

@@ -162,27 +162,16 @@ def test_round3_readouts_plan_shapes(spark):
     assert budget_plan.count("Exchange hashpartitioning") == 1, budget_plan
 
 
-def test_micro_pipeline_exchanges_are_text_free(spark):
-    """full_pipeline_micro's model join is unavoidable (the scorers are
-    groupBy(doc_id) aggregates), but its width is not: native pcts are
-    staged map-only on the docs scan, so every Exchange in the plan
-    carries doc_id + fixed-width numerics — text stays in the scan
-    stage. Broadcast is disabled so the docs-side exchange actually
-    materializes (at 100 TB neither side broadcasts)."""
-    import re
-
+def test_micro_pipeline_is_map_only(spark):
+    """full_pipeline_micro is ZERO-Exchange since the scorers became
+    literal-array folds (r4): the model columns, every native pct, the
+    rollup, rating, keep and drop_reasons all ride one projection chain
+    over one scan — the same shape as the UDF pipeline. (The r3 version
+    had two groupBy(doc_id) scorer aggregates + a model join; asserting
+    its exchanges were text-free is obsolete — there are none at all.)"""
     from metadata_quality_stack_spark.operators import micro_lm
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plan = plan_str(micro_lm.full_pipeline_micro(docs))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    ex_ids = set(re.findall(r"\((\d+)\)\s+Exchange", plan))
-    assert ex_ids, "expected shuffle joins with broadcast disabled"
-    for i in ex_ids:
-        m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
-        blk = m.group(1) if m else ""
-        assert "text#" not in blk, f"Exchange ({i}) shuffles text:\n{blk}"
+    plan = plan_str(micro_lm.full_pipeline_micro(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
