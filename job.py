@@ -34,6 +34,12 @@ def main() -> None:
                     help="optional declared-lang pushdown filter, e.g. 'en'")
     ap.add_argument("--salts", type=int, default=16,
                     help="salt count for domain-skew repartitioning")
+    ap.add_argument("--blocklist", default=None,
+                    help="optional file of blocked domains (one per line); "
+                         "pages on these domains drop BEFORE any scoring "
+                         "spend (driver-side read -> codegen IN-list for "
+                         "config-sized lists, broadcast anti-join beyond "
+                         "10k entries)")
     ap.add_argument("--include-text", action="store_true", default=True)
     ap.add_argument("--partition-by-day", action="store_true",
                     help="hive-partition each bucket's output by warc day "
@@ -60,6 +66,18 @@ def main() -> None:
     # and downstream url-keyed dedup has to re-shuffle. The codegen
     # regexp chain is ~8 scans of a ~100-byte string — free next to text.
     pages = pages.withColumn("url_norm", normalize_url(F.col("url")))
+    if args.blocklist:
+        from metadata_quality_stack_spark.operators.urlops import (
+            blocklist_filter,
+        )
+
+        with open(args.blocklist) as f:
+            blocked = [ln.strip() for ln in f if ln.strip()]
+        if len(blocked) > 10_000:
+            blocked = spark.createDataFrame(
+                [(d,) for d in blocked], "domain string"
+            )
+        pages = blocklist_filter(pages, blocked)
 
     # Skew + layout are handled by the sink's single (bucket, salt)
     # exchange: the salt is url-hash-derived, so one hot domain spreads
