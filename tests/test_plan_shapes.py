@@ -175,3 +175,34 @@ def test_micro_pipeline_is_map_only(spark):
     plan = plan_str(micro_lm.full_pipeline_micro(docs))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_round4_curation_op_plan_shapes(spark):
+    """Plan audit of the round-4 curation additions:
+
+    * lang_stopword_density is MAP-ONLY (one scan, no Exchange) — the
+      per-lang set arrives via a staged map-literal lookup;
+    * length_outlier_trim's doc side never sorts or windows: the only
+      window runs over the tiny (lang, length) HISTOGRAM, and the
+      cutoffs come back via a BROADCAST join (no doc-side Exchange);
+    * temperature_mix's total joins back as a broadcast of ONE row.
+    """
+    from metadata_quality_stack_spark.operators import sampling, textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    p1 = plan_str(textops.lang_stopword_density(docs))
+    assert "Exchange" not in p1, p1
+
+    p2 = plan_str(sampling.length_outlier_trim(docs), mode="simple")
+    assert "BroadcastHashJoin" in p2, p2
+    assert "SortMergeJoin" not in p2, p2
+    # exactly the histogram aggregation exchanges, no doc-side shuffle:
+    # hashpartitioning only on the (lang, n_chars) / lang keys
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p2):
+        assert "doc_id" not in m.group(1), p2
+
+    p3 = plan_str(sampling.temperature_mix(docs), mode="simple")
+    assert "BroadcastNestedLoopJoin" in p3 or "BroadcastHashJoin" in p3, p3
