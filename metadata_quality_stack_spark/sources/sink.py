@@ -56,6 +56,47 @@ class SnapshotManifest:
         os.replace(tmp, self.path)  # atomic snapshot swap
 
 
+class SnapshotLog:
+    """Iceberg-style snapshot history (``_snapshots.json``): one entry
+    per COMPLETED run that changed the table, recording the
+    committed-bucket set at that point. Time travel is sound at bucket
+    granularity because the commit protocol is append-only — the
+    manifest makes every later run skip a committed bucket, so a
+    ``bucket=<b>/`` dir is immutable once committed and "the table as
+    of snapshot N" is exactly "the buckets committed as of snapshot N"
+    (removing ``_manifest.json`` by hand voids that guarantee, the same
+    way deleting Iceberg metadata does). A run killed mid-write appends
+    nothing: its partially-committed buckets only become visible in the
+    snapshot the RERUN completes (the manifest, not the log, drives
+    resume), so a pinned read can never land on a half-written state."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.path = os.path.join(out_dir, "_snapshots.json")
+        self.snapshots: list[dict] = []
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.snapshots = json.load(f)
+
+    def append(self, buckets: list[int]) -> int:
+        sid = len(self.snapshots)
+        self.snapshots.append(
+            {"snapshot_id": sid, "ts": time.time(), "buckets": sorted(buckets)}
+        )
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.snapshots, f, indent=1)
+        os.replace(tmp, self.path)
+        return sid
+
+    def buckets_at(self, snapshot_id: int) -> list[int]:
+        if not 0 <= snapshot_id < len(self.snapshots):
+            raise ValueError(
+                f"snapshot {snapshot_id} not in log "
+                f"(have 0..{len(self.snapshots) - 1})"
+            )
+        return list(self.snapshots[snapshot_id]["buckets"])
+
+
 def run_incremental(
     spark: SparkSession,
     input_df: DataFrame,
@@ -164,16 +205,39 @@ def run_incremental(
             done += 1
             if fail_after is not None and done >= fail_after:
                 raise RuntimeError(f"injected failure after {done} buckets")
+    # run completed: record the committed-bucket set as a new snapshot
+    # (only if it differs from the last one, so idempotent reruns over a
+    # finished table don't grow the log)
+    log = SnapshotLog(out_dir)
+    committed = sorted(int(b) for b in manifest.entries)
+    snapshot_id = None
+    if not log.snapshots or log.snapshots[-1]["buckets"] != committed:
+        snapshot_id = log.append(committed)
+    elif log.snapshots:
+        snapshot_id = log.snapshots[-1]["snapshot_id"]
     return {
         "buckets": n_buckets,
         "rows": sum(e["rows"] for e in manifest.entries.values()),
         "kept": sum(e["kept"] for e in manifest.entries.values()),
+        "snapshot_id": snapshot_id,
     }
 
 
-def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_results(
+    spark: SparkSession, out_dir: str, snapshot: int | None = None
+) -> DataFrame:
+    """Read the results table; ``snapshot`` pins an Iceberg-style
+    time-travel read to the bucket set committed as of that snapshot.
+    The pin is a predicate on the hive PARTITION column, so the scan
+    partition-prunes to exactly those ``bucket=<b>/`` dirs — later
+    buckets are never listed, let alone read (plan-asserted in
+    tests/test_resume.py)."""
     # basePath so nested hive layouts (bucket=*/day=*) unify into one read
     # with bucket and any inner partition columns exposed for pruning
-    return spark.read.option("basePath", out_dir).parquet(
+    df = spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "bucket=*")
     )
+    if snapshot is not None:
+        buckets = SnapshotLog(out_dir).buckets_at(snapshot)
+        df = df.filter(F.col("bucket").isin(buckets))
+    return df

@@ -208,3 +208,47 @@ def test_read_pages_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     out = quality_pipeline(good, id_cols=("url",), lang_col="lang",
                            include_text=False)
     assert out.count() == 2
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg-style snapshot log: a crashed run appends NO snapshot
+    (its partial buckets become visible only in the snapshot the resume
+    completes); a completed run appends one; idempotent reruns don't
+    grow the log; a pinned read resolves the snapshot's bucket set via
+    PARTITION pruning so unpinned bucket dirs never reach the scan."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from metadata_quality_stack_spark.sources.sink import SnapshotLog
+
+    docs = pages_spark_df(spark, n_rows=200, seed=21)
+    out = str(tmp_path / "tt")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_incremental(spark, docs, out, _transform, n_buckets=6, fail_after=2)
+    # crash: partial manifest, but no snapshot — time travel can never
+    # land on a half-written state
+    assert len(SnapshotManifest(out).entries) == 2
+    assert not os.path.exists(os.path.join(out, "_snapshots.json"))
+
+    s = run_incremental(spark, docs, out, _transform, n_buckets=6)
+    assert s["snapshot_id"] == 0
+    log = SnapshotLog(out)
+    assert [x["snapshot_id"] for x in log.snapshots] == [0]
+    assert log.buckets_at(0) == list(range(6))
+
+    # idempotent rerun of the finished table: same state, no new snapshot
+    s2 = run_incremental(spark, docs, out, _transform, n_buckets=6)
+    assert s2["snapshot_id"] == 0
+    assert len(SnapshotLog(out).snapshots) == 1
+
+    pinned = read_results(spark, out, snapshot=0)
+    assert pinned.count() == 200
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pinned.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    with pytest.raises(ValueError, match="snapshot 7 not in log"):
+        read_results(spark, out, snapshot=7).count()
