@@ -195,3 +195,105 @@ class _dynamic_overwrite:
         self.spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", self.prev
         )
+
+
+# --------------------------------------------------------- bloom sidecar
+# A Bloom bitmap (operators/bloom.py) maintained NEXT TO the index: the
+# ingest probe consults the broadcast bitmap map-only first, and only
+# the maybe-dups (typically a few % of a fresh crawl batch) pay the
+# anti-join against the on-disk index. Stored as a tiny parquet table in
+# the index dir — it lives wherever the warehouse lives (the same
+# non-local-URI reasoning as the read-based existence probe above).
+#
+# Crash-safety invariant: the bitmap is always a SUPERSET of the index's
+# fingerprint positions — ingest writes the merged bitmap BEFORE
+# appending fingerprints, so a crash between the two leaves phantom bits
+# (harmless false positives that route extra rows to the anti-join),
+# never missing bits (which would be false negatives = readmitted
+# duplicates). Re-ingesting the same batch after such a crash is still
+# idempotent: the phantom rows fail the anti-join's membership test the
+# same way any maybe-dup does. Single concurrent writer assumed, like
+# the index appends themselves.
+BLOOM_M_BITS = 1 << 20  # 128 KB bitmap; ~10 bits/key at 100k keys
+
+
+def _bloom_dir(index_dir: str) -> str:
+    return f"{index_dir}/_bloom"
+
+
+def write_bloom(spark: SparkSession, bitmap: list[int], index_dir: str) -> None:
+    rows = [(i, w) for i, w in enumerate(bitmap) if w]
+    df = spark.createDataFrame(rows or [(0, 0)], "word_idx long, bits long")
+    df.coalesce(1).write.mode("overwrite").parquet(_bloom_dir(index_dir))
+
+
+def read_bloom(
+    spark: SparkSession, index_dir: str, m_bits: int = BLOOM_M_BITS
+) -> list[int] | None:
+    try:
+        rows = spark.read.parquet(_bloom_dir(index_dir)).collect()
+    except AnalysisException:
+        return None
+    bitmap = [0] * (m_bits // 64)
+    for r in rows:
+        bitmap[int(r.word_idx)] |= int(r.bits)
+    return bitmap
+
+
+def ingest_batch_bloom(
+    spark: SparkSession, new_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """ingest_batch with the Bloom pre-filter: identical survivors (no
+    false negatives by the superset invariant; tested), but definite-new
+    rows — the bulk of a fresh batch — never enter the index anti-join.
+    Bootstraps the bitmap from the index on first use (one scan)."""
+    from metadata_quality_stack_spark.operators import bloom as bloom_mod
+
+    batch = new_docs.select("doc_id", content_fingerprint().alias("fingerprint"))
+    first = batch.groupBy("fingerprint").agg(F.min("doc_id").alias("_first"))
+    batch_first = (
+        batch.join(first, "fingerprint")
+        .filter(F.col("doc_id") == F.col("_first"))
+        .select("doc_id", "fingerprint")
+    )
+
+    bitmap = read_bloom(spark, index_dir)
+    idx = None
+    try:
+        idx = read_index(spark, index_dir).select("fingerprint")
+    except AnalysisException:
+        pass
+    if bitmap is None:
+        bitmap = (
+            bloom_mod.bloom_build(idx, col="fingerprint", m_bits=BLOOM_M_BITS)
+            if idx is not None
+            else [0] * (BLOOM_M_BITS // 64)
+        )
+
+    probed = bloom_mod.bloom_probe(batch_first, bitmap, col="fingerprint")
+    definite_new = probed.filter(F.col("maybe_dup") == False).drop(  # noqa: E712
+        "maybe_dup"
+    )
+    # null fingerprints (null text) probe to null: route them to the
+    # anti-join side so their membership semantics match ingest_batch
+    maybe = probed.filter(
+        F.col("maybe_dup").isNull() | F.col("maybe_dup")
+    ).drop("maybe_dup")
+    maybe_new = maybe.join(idx, "fingerprint", "left_anti") if idx is not None else maybe
+    survivors = definite_new.unionByName(maybe_new).localCheckpoint(eager=True)
+
+    # superset-first: merged bitmap lands BEFORE the fingerprint append
+    new_bits = bloom_mod.bloom_build(
+        survivors.select("fingerprint").filter(F.col("fingerprint").isNotNull()),
+        col="fingerprint",
+        m_bits=BLOOM_M_BITS,
+    )
+    write_bloom(spark, [a | b for a, b in zip(bitmap, new_bits)], index_dir)
+    (
+        _with_bucket(survivors.select("fingerprint"))
+        .repartition("fp_bucket")
+        .write.mode("append")
+        .partitionBy("fp_bucket")
+        .parquet(index_dir)
+    )
+    return survivors

@@ -91,3 +91,83 @@ def test_bucket_assignment_is_prefix_stable(spark):
     out = dix._with_bucket(fps).collect()
     for r in out:
         assert r.fp_bucket == int(r.fingerprint[:2], 16) % dix.FP_BUCKETS
+
+
+def test_bloom_ingest_matches_plain_ingest(spark, tmp_path):
+    """ingest_batch_bloom must admit EXACTLY the same survivors as
+    ingest_batch across a multi-batch ingest loop with overlaps, and
+    maintain the superset invariant (every index fingerprint probes
+    maybe_dup=true afterwards — no false negative can ever readmit a
+    known duplicate)."""
+    from metadata_quality_stack_spark.operators import bloom as bloom_mod
+    from metadata_quality_stack_spark.sources import dedup_index as di
+
+    def docs(ids_texts):
+        return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+    batches = [
+        docs([(1, "aa"), (2, "bb"), (3, "aa")]),          # in-batch dup
+        docs([(4, "bb"), (5, "cc")]),                      # cross-batch dup
+        docs([(6, "cc"), (7, "dd"), (8, "ee"), (9, "dd")]),
+    ]
+    plain_dir = str(tmp_path / "plain")
+    bloom_dir_ = str(tmp_path / "bloomed")
+    for b in batches:
+        p = {r.doc_id for r in di.ingest_batch(spark, b, plain_dir).collect()}
+        q = {
+            r.doc_id
+            for r in di.ingest_batch_bloom(spark, b, bloom_dir_).collect()
+        }
+        assert p == q
+    # index contents identical
+    a = {r.fingerprint for r in di.read_index(spark, plain_dir).collect()}
+    c = {r.fingerprint for r in di.read_index(spark, bloom_dir_).collect()}
+    assert a == c and len(a) == 5
+    # superset invariant: every index fingerprint probes positive
+    bitmap = di.read_bloom(spark, bloom_dir_)
+    probed = bloom_mod.bloom_probe(
+        di.read_index(spark, bloom_dir_).select(
+            F.col("fingerprint").alias("doc_id"), "fingerprint"
+        ),
+        bitmap,
+        col="fingerprint",
+    )
+    assert probed.filter(F.col("maybe_dup") == False).count() == 0  # noqa: E712
+
+
+def test_bloom_ingest_survives_phantom_bits(spark, tmp_path):
+    """A crash between the bloom write and the fingerprint append leaves
+    phantom bits (bitmap strictly superset of the index). Simulate it:
+    pre-set the bits of a fingerprint that is NOT in the index — the
+    next ingest must still admit that document (routed through the
+    anti-join, which says 'not in index')."""
+    from metadata_quality_stack_spark.operators import bloom as bloom_mod
+    from metadata_quality_stack_spark.sources import dedup_index as di
+
+    d = str(tmp_path / "idx")
+    di.ingest_batch_bloom(
+        spark,
+        spark.createDataFrame([(1, "seen")], "doc_id long, text string"),
+        d,
+    )
+    # phantom: set the bits for 'ghost' without appending its fingerprint
+    ghost = spark.createDataFrame([(0, "ghost")], "doc_id long, text string")
+    gfp = ghost.select(di.content_fingerprint().alias("fingerprint"))
+    phantom_bits = bloom_mod.bloom_build(
+        gfp, col="fingerprint", m_bits=di.BLOOM_M_BITS
+    )
+    merged = [
+        a | b for a, b in zip(di.read_bloom(spark, d), phantom_bits)
+    ]
+    di.write_bloom(spark, merged, d)
+
+    out = di.ingest_batch_bloom(
+        spark,
+        spark.createDataFrame(
+            [(2, "ghost"), (3, "seen"), (4, "fresh")],
+            "doc_id long, text string",
+        ),
+        d,
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == {2, 4}  # ghost admitted (phantom bit harmless), seen dropped
