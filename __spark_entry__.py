@@ -577,6 +577,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_index.index_probe_cycle(s, _t(s, d, "documents"))
 
     q["dedup_index_probe"] = dedup_index_probe
+
+    # same lifecycle through the bloom pre-filter; SAME oracle — the
+    # bitmap only routes rows around the anti-join, never decides
+    # membership, and the shared gate row states that as a fact
+    def dedup_index_probe_bloom(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.sources import dedup_index
+
+        return dedup_index.index_probe_cycle_bloom(s, _t(s, d, "documents"))
+
+    q["dedup_index_probe_bloom"] = dedup_index_probe_bloom
     # signature-agreement Jaccard estimate per LSH candidate pair (the
     # text-free verify stage between banding and exact Jaccard)
     q["minhash_jaccard_estimate"] = lambda s, d: dedup.minhash_jaccard_estimate(
@@ -1805,6 +1815,7 @@ FROM scored s CROSS JOIN t GROUP BY 1
     from metadata_quality_stack_spark.sources import dedup_index as _dedup_index
 
     o["dedup_index_probe"] = _dedup_index.index_probe_cycle_sql()
+    o["dedup_index_probe_bloom"] = _dedup_index.index_probe_cycle_sql()
     o["rebalance_corpus"] = sampling.rebalance_corpus_sql()
     o["lang_mix_weights"] = """
 WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

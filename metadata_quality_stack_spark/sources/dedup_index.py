@@ -159,6 +159,36 @@ def index_probe_cycle(
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def index_probe_cycle_bloom(
+    spark: SparkSession, docs: DataFrame, mod: int = 3
+) -> DataFrame:
+    """The same lifecycle as :func:`index_probe_cycle` but with BOTH
+    ingests routed through the bloom pre-filter (bitmap bootstraps from
+    the built index on the first one). The answer must be identical —
+    the bloom only decides which rows pay the anti-join, never
+    membership — so this query shares index_probe_cycle_sql as its
+    oracle, which is exactly the no-false-negatives claim stated as a
+    gate row. Compaction between the ingests must not disturb the
+    bitmap's superset invariant (it only removes duplicate rows).
+
+    Columns: doc_id, fingerprint."""
+    import shutil
+    import tempfile
+
+    index_dir = tempfile.mkdtemp(prefix="dedup_index_bloom_gate_")
+    try:
+        build_index(docs.filter(F.col("doc_id") % mod == 0), index_dir)
+        ingest_batch_bloom(
+            spark, docs.filter(F.col("doc_id") % mod == 1), index_dir
+        )
+        compact_index(spark, index_dir)
+        return ingest_batch_bloom(
+            spark, docs.filter(F.col("doc_id") % mod == 2), index_dir
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def index_probe_cycle_sql(table: str = "documents", mod: int = 3) -> str:
     """DuckDB mirror of :func:`index_probe_cycle`: the index after
     build(A) + ingest(B) contains A's distinct fingerprints plus B's
