@@ -408,6 +408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["length_outlier_trim"] = lambda s, d: sampling.length_outlier_trim(
         _t(s, d, "documents")
     )
+    # tokenizer fertility per language (token-budget planning; int ppm)
+    q["bpe_fertility_by_lang"] = lambda s, d: textops.bpe_fertility_by_lang(
+        _t(s, d, "documents")
+    )
     # CCNet/LLaMA-style trained quality classifier (logistic regression
     # over hashed n-grams, K bounded-key gradient rounds; the oracle
     # replays the whole fit in chained CTEs)
@@ -1101,6 +1105,7 @@ SELECT doc_id, source FROM (
     o["temperature_mix"] = sampling.temperature_mix_sql()
     o["lang_stopword_density"] = textops.lang_stopword_density_sql()
     o["length_outlier_trim"] = sampling.length_outlier_trim_sql()
+    o["bpe_fertility_by_lang"] = textops.bpe_fertility_by_lang_sql()
     o["quality_classifier_weights"] = classifier.classifier_weights_sql()
     o["quality_classifier_scores"] = classifier.classifier_scores_sql()
     o["quality_classifier_confusion"] = classifier.classifier_confusion_sql()

@@ -673,3 +673,49 @@ SELECT doc_id, lang, n_words, sw_hits, sw_distinct, density_ppm,
         AND density_ppm >= {min_density_ppm}) AS keep
 FROM d
 """
+
+
+BPE_NONWS_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+
+
+def bpe_fertility_by_lang(docs: DataFrame) -> DataFrame:
+    """Tokenizer-fertility readout per language: chars per BPE-ish token
+    — THE number a token-budget planner needs before mixing languages
+    (CJK text runs ~2-4x more chars/token under a Latin-centric
+    pretokenizer, so an equal-chars mix is far from an equal-tokens
+    mix). One regexp_count pass per doc, one bounded-key agg; the ratio
+    ships in integer ppm (sum_chars*1e6 div sum_tokens) so both engines
+    emit identical bits.
+
+    Columns: lang, n_docs, sum_chars, sum_tokens, chars_per_token_ppm."""
+    tok = F.regexp_count("text", F.lit(BPE_NONWS_RE)).cast("long")
+    per = (
+        docs.select("lang", F.length("text").cast("long").alias("_c"), tok.alias("_t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_c").alias("sum_chars"),
+            F.sum("_t").alias("sum_tokens"),
+        )
+    )
+    ratio = F.when(
+        F.col("sum_tokens") > 0,
+        F.expr("(sum_chars * 1000000) div sum_tokens"),
+    )
+    return per.select("*", ratio.alias("chars_per_token_ppm"))
+
+
+def bpe_fertility_by_lang_sql(table: str = "documents") -> str:
+    nonws = BPE_NONWS_RE.replace("'", "''")
+    return f"""
+WITH per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS sum_chars,
+         sum(len(regexp_extract_all(text, '{nonws}')))::BIGINT AS sum_tokens
+  FROM {table} GROUP BY lang
+)
+SELECT lang, n_docs, sum_chars, sum_tokens,
+       CASE WHEN sum_tokens > 0
+            THEN (sum_chars * 1000000) // sum_tokens END AS chars_per_token_ppm
+FROM per
+"""

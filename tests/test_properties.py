@@ -113,3 +113,79 @@ def py_split_bucket(text: str) -> int:
     import hashlib
 
     return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:7], 16) % 100
+
+
+# ------------------------------------------------------- two-phase capping
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),       # domain
+            st.integers(0, 1_000_000),  # priority hash
+            st.integers(0, 10_000),  # unique-ish doc id (ties allowed)
+        ),
+        max_size=120,
+    ),
+    st.integers(1, 6),  # k
+    st.integers(1, 5),  # salt buckets
+)
+def test_domain_cap_two_phase_superset_property(rows, k, s):
+    """The pure-math claim behind urlops.domain_cap: capping to k within
+    (domain, id % S) first, then exactly per domain, equals the single
+    per-domain cap — for ANY rows, k, and salt count. Any row in a
+    domain's global top-k is in the top-k of its own salt bucket, so
+    phase 1 keeps a superset of the winners."""
+    def topk(items, k):
+        return sorted(items)[:k]
+
+    by_dom = {}
+    for d, pri, i in rows:
+        by_dom.setdefault(d, []).append((pri, i))
+    naive = {d: topk(v, k) for d, v in by_dom.items()}
+
+    by_bucket = {}
+    for d, pri, i in rows:
+        by_bucket.setdefault((d, i % s), []).append((pri, i))
+    survivors = {}
+    for (d, _), v in by_bucket.items():
+        survivors.setdefault(d, []).extend(topk(v, k))
+    two_phase = {d: topk(v, k) for d, v in survivors.items()}
+    assert two_phase == naive
+
+
+# ------------------------------------------------------------ bloom forms
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.text(min_size=1, max_size=8), max_size=40),
+    st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=20),
+    st.sampled_from([64, 128, 256]),
+)
+def test_bloom_bitmap_equals_set_membership(corpus, probes, m_bits):
+    """The gate claim behind operators/bloom.py: the bitmap-AND-mask form
+    (what Spark executes) is THE SAME boolean function as 'all k
+    positions in the corpus position set' (what the DuckDB oracle
+    states), false positives included — for arbitrary keys and tiny
+    saturated filters."""
+    import hashlib
+
+    def pos(key, i):
+        h = int(
+            hashlib.md5(f"{key}#b{i}".encode("utf-8")).hexdigest()[:15], 16
+        )
+        return h % m_bits
+
+    k_hashes = 4
+    pset = {pos(c, i) for c in corpus for i in range(k_hashes)}
+    words = [0] * (m_bits // 64)
+    for p in pset:
+        words[p // 64] |= 1 << (p % 64)
+
+    for key in probes:
+        via_set = all(pos(key, i) in pset for i in range(k_hashes))
+        via_bits = all(
+            words[pos(key, i) // 64] >> (pos(key, i) % 64) & 1
+            for i in range(k_hashes)
+        )
+        assert via_set == via_bits
+        if key in corpus:
+            assert via_bits  # no false negative, ever
