@@ -110,6 +110,16 @@ def _grad_frame(base: DataFrame, w: list[int]) -> DataFrame:
     )
 
 
+# Fit memo keyed by (plan semanticHash, rounds): the gate runs five
+# classifier readouts (weights/scores/confusion/sweep/calibration) over
+# the SAME corpus in one process — without the memo each re-runs the
+# full K-round fit. semanticHash identifies the logical plan (parquet
+# paths / local data included), so the cache is exact for static inputs;
+# a process that mutates files in place behind an identical plan should
+# clear it (gate and tests never do).
+_FIT_CACHE: dict[tuple[int, int], list[int]] = {}
+
+
 def train_weights(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> list[int]:
     """K rounds of full-batch GD. Returns N_WEIGHTS integer micros.
     Each round is ONE Spark job whose shuffle is 257 keys; the weight
@@ -123,6 +133,13 @@ def train_weights(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> list[int]:
     #3). The count() both materializes the cache and supplies n_docs in
     one action. Plan-asserted in tests/test_classifier.py."""
     from pyspark import StorageLevel
+
+    try:
+        memo_key = (docs.semanticHash(), rounds)
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _FIT_CACHE:
+        return list(_FIT_CACHE[memo_key])
 
     base = _base_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -140,6 +157,8 @@ def train_weights(docs: DataFrame, rounds: int = TRAIN_ROUNDS) -> list[int]:
             ]
     finally:
         base.unpersist()
+    if memo_key is not None:
+        _FIT_CACHE[memo_key] = list(w)
     return w
 
 

@@ -34,8 +34,8 @@ def token_stats(docs: DataFrame) -> DataFrame:
     sw = F.array(*[F.lit(s) for s in config.STOPWORDS_EN])
     return docs.select(
         "doc_id",
-        n.alias("n_words"),
-        F.size(lows).alias("n_distinct_words"),
+        n.cast("long").alias("n_words"),
+        F.size(lows).cast("long").alias("n_distinct_words"),
         F.round(safe_div(sum_len, n), 6).alias("mean_word_len"),
         F.round(
             safe_div(F.size(F.array_intersect(lows, sw)), F.size(lows)), 6
@@ -64,7 +64,7 @@ def langid_heuristic(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataF
         "lang",
         *extra_cols,
         expr.alias("lang_pred"),
-        best.alias("best_hits"),
+        best.cast("long").alias("best_hits"),
     )
 
 
