@@ -412,6 +412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_fertility_by_lang"] = lambda s, d: textops.bpe_fertility_by_lang(
         _t(s, d, "documents")
     )
+    # keep-flip 2x2 between the two scoring profiles (one scan, chained
+    # stagings — the oracle states the naive self-join form)
+    q["profile_flip_matrix"] = lambda s, d: analytics.profile_flip_matrix(
+        _t(s, d, "documents")
+    )
     # CCNet/LLaMA-style trained quality classifier (logistic regression
     # over hashed n-grams, K bounded-key gradient rounds; the oracle
     # replays the whole fit in chained CTEs)
@@ -1106,6 +1111,13 @@ SELECT doc_id, source FROM (
     o["lang_stopword_density"] = textops.lang_stopword_density_sql()
     o["length_outlier_trim"] = sampling.length_outlier_trim_sql()
     o["bpe_fertility_by_lang"] = textops.bpe_fertility_by_lang_sql()
+    _scored_a = sqlgen.native_scoring_sql()
+    _scored_b = sqlgen.native_scoring_sql(profile="webtext_nti_native")
+    o["profile_flip_matrix"] = f"""
+WITH a AS ({_scored_a}), b AS ({_scored_b})
+SELECT a.keep AS keep_a, b.keep AS keep_b, count(*)::BIGINT AS n_docs
+FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2
+"""
     o["quality_classifier_weights"] = classifier.classifier_weights_sql()
     o["quality_classifier_scores"] = classifier.classifier_scores_sql()
     o["quality_classifier_confusion"] = classifier.classifier_confusion_sql()

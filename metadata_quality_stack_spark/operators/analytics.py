@@ -597,3 +597,33 @@ def errors_near_purchases(events: DataFrame, window_s: int = 60) -> DataFrame:
         F.col("event_id").alias("id"), "ts"
     )
     return range_join_bins(purchases, errors, window_s)
+
+
+def profile_flip_matrix(
+    docs: DataFrame,
+    profile_a: str = "webtext_native",
+    profile_b: str = "webtext_nti_native",
+) -> DataFrame:
+    """What adopting a different scoring profile would DO to the corpus:
+    the 2x2 keep-flip matrix between two rule profiles (the reference
+    ships two reporting profiles; its operators ask exactly this before
+    switching, config.py:262-349). (true,false) is the newly-dropped
+    mass, (false,true) the newly-admitted — the two numbers a profile
+    migration is approved on.
+
+    Plan shape: the second scoring CHAIN runs over the first's output
+    frame, so both profiles ride ONE scan as consecutive map-only staged
+    projections — no self-join on doc_id (the naive two-frames-joined
+    formulation shuffles the corpus twice; the oracle states that join
+    form, the plan never pays it).
+
+    Columns: keep_a, keep_b, n_docs."""
+    carry = [c for c in docs.columns]
+    a = apply_quality(docs, meta_cols=DOC_META, profile=profile_a)
+    a2 = a.select(*carry, F.col("keep").alias("keep_a"))
+    b = apply_quality(a2, meta_cols=DOC_META, profile=profile_b)
+    return (
+        b.select("keep_a", F.col("keep").alias("keep_b"))
+        .groupBy("keep_a", "keep_b")
+        .agg(F.count("*").alias("n_docs"))
+    )

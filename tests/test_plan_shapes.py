@@ -206,3 +206,15 @@ def test_round4_curation_op_plan_shapes(spark):
 
     p3 = plan_str(sampling.temperature_mix(docs), mode="simple")
     assert "BroadcastNestedLoopJoin" in p3 or "BroadcastHashJoin" in p3, p3
+
+
+def test_profile_flip_matrix_single_scan_no_join(spark):
+    """Both profiles' scoring chains ride ONE scan as consecutive staged
+    projections — the naive two-scored-frames self-join (what the oracle
+    states) must not appear in the plan."""
+    from metadata_quality_stack_spark.operators import analytics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_str(analytics.profile_flip_matrix(docs), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
