@@ -361,6 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source", 3, "doc_id",
     )
     q["score_quantiles"] = lambda s, d: sampling.score_quantiles(_scored(s, d))
+    # the gate-verifiable 100 TB quantile path: exact percentile over a
+    # deterministic md5 sample (approx_percentile's sketch is engine-
+    # private and can never hash-match an oracle)
+    q["score_quantiles_sampled"] = lambda s, d: sampling.score_quantiles_sampled(
+        _scored(s, d)
+    )
     # content-hash-keyed train/val/test assignment (exact-duplicate
     # leakage guard: identical texts share a split by construction)
     q["train_val_test_split"] = lambda s, d: sampling.train_val_test_split(
@@ -1097,6 +1103,17 @@ SELECT doc_id, source FROM (
             for p in (0.1, 0.25, 0.5, 0.75, 0.9)
         )
         + " FROM scored"
+    )
+    o["score_quantiles_sampled"] = (
+        f"WITH scored AS ({scored}), s AS ("
+        "SELECT * FROM scored WHERE "
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100)"
+        " < 10) SELECT count(*)::BIGINT AS n_sampled, "
+        + ", ".join(
+            f"round(quantile_cont(total_score, {p!r}), 4) AS p{int(p * 100)}"
+            for p in (0.1, 0.25, 0.5, 0.75, 0.9)
+        )
+        + " FROM s"
     )
     o["train_val_test_split"] = sampling.train_val_test_split_sql()
     o["dup_ngram_fraction"] = dedup.dup_ngram_fraction_sql()

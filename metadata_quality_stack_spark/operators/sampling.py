@@ -585,3 +585,32 @@ SELECT doc_id, d.{group_col}, {len_col},
        ({len_col} >= lo_val AND {len_col} <= hi_val) AS keep
 FROM {table} d LEFT JOIN cuts USING ({group_col})
 """
+
+
+def score_quantiles_sampled(
+    scored: DataFrame,
+    probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    rate_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The SCALE PATH for quantiles, still gate-exact: exact quantiles
+    over a deterministic md5-bucket sample. Spark's approx_percentile is
+    the usual 100 TB answer but its sketch is engine-private — the gate
+    can never verify it. A content-keyed sample is the verifiable
+    alternative: membership is a map-only predicate (same row set in any
+    engine, any cluster size, any run), the exact percentile then runs
+    over rate_pct% of the data, and the estimate's error is the standard
+    sampling error (~1/sqrt(n·rate)) rather than an opaque sketch bound.
+    Emits n_sampled alongside so the reader can judge that error.
+
+    Columns: n_sampled, p10, p25, p50, p75, p90 (for default probs)."""
+    s = scored.filter(sample_bucket(F.col(id_col)) < rate_pct)
+    return s.agg(
+        F.count("*").alias("n_sampled"),
+        *[
+            F.round(
+                F.expr(f"percentile(total_score, {p!r})"), 4
+            ).alias(f"p{int(p * 100)}")
+            for p in probs
+        ],
+    )
