@@ -423,6 +423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_flip_matrix"] = lambda s, d: analytics.profile_flip_matrix(
         _t(s, d, "documents")
     )
+    # per-rule ablation: every rule's admitted/dropped flip mass, all
+    # rules in ONE scan (conditional aggregates over one pct staging)
+    q["rule_ablation"] = lambda s, d: analytics.rule_ablation(
+        _t(s, d, "documents")
+    )
     # CCNet/LLaMA-style trained quality classifier (logistic regression
     # over hashed n-grams, K bounded-key gradient rounds; the oracle
     # replays the whole fit in chained CTEs)
@@ -1128,6 +1133,7 @@ SELECT doc_id, source FROM (
     o["lang_stopword_density"] = textops.lang_stopword_density_sql()
     o["length_outlier_trim"] = sampling.length_outlier_trim_sql()
     o["bpe_fertility_by_lang"] = textops.bpe_fertility_by_lang_sql()
+    o["rule_ablation"] = analytics.rule_ablation_sql()
     _scored_a = sqlgen.native_scoring_sql()
     _scored_b = sqlgen.native_scoring_sql(profile="webtext_nti_native")
     o["profile_flip_matrix"] = f"""

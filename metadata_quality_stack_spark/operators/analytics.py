@@ -627,3 +627,109 @@ def profile_flip_matrix(
         .groupBy("keep_a", "keep_b")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def rule_ablation(docs: DataFrame, profile: str = "webtext_native") -> DataFrame:
+    """Per-rule ablation of the keep decision: for EVERY rule, how many
+    documents would be newly admitted / newly dropped if that rule were
+    removed from the profile (points and hard-gate membership both) —
+    the readout that tells an operator which rule actually carries the
+    filter and which is dead weight, computed for all rules in ONE scan
+    (per-rule conditional aggregates over one staged pct projection; the
+    naive formulation re-scores the corpus once per rule).
+
+    Removing a rule can flip keep in BOTH directions: ON when a failing
+    HARD rule leaves the gate, OFF when a passing rule's points carried
+    a dimension over the threshold.
+
+    Columns: rule_id, n_keep_base, n_keep_without, n_admitted,
+    n_dropped."""
+    from metadata_quality_stack_spark.operators.rules import (
+        score_columns,
+        scoring_stages,
+    )
+
+    rules = config.RULES_BY_PROFILE[profile]
+    staged = scoring_stages(docs, "text", DOC_META, profile)
+    pcts = {r["id"]: F.col(f"pct_{r['id']}") for r in rules}
+    base = score_columns(pcts, profile)["keep"]
+    aggs = [F.coalesce(F.sum(base.cast("long")), F.lit(0)).alias("_kb")]
+    for r in rules:
+        kw = score_columns(pcts, profile, exclude=r["id"])["keep"]
+        aggs += [
+            F.coalesce(F.sum(kw.cast("long")), F.lit(0)).alias(f"_kw_{r['id']}"),
+            F.coalesce(F.sum((kw & ~base).cast("long")), F.lit(0)).alias(
+                f"_adm_{r['id']}"
+            ),
+            F.coalesce(F.sum((~kw & base).cast("long")), F.lit(0)).alias(
+                f"_dro_{r['id']}"
+            ),
+        ]
+    wide = staged.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r["id"]).alias("rule_id"),
+                F.col("_kb").alias("n_keep_base"),
+                F.col(f"_kw_{r['id']}").alias("n_keep_without"),
+                F.col(f"_adm_{r['id']}").alias("n_admitted"),
+                F.col(f"_dro_{r['id']}").alias("n_dropped"),
+            )
+            for r in rules
+        ]
+    )
+    return wide.select(F.explode(rows).alias("x")).select("x.*")
+
+
+def rule_ablation_sql(
+    table: str = "documents", profile: str = "webtext_native"
+) -> str:
+    from metadata_quality_stack_spark.oracle import sqlgen
+
+    rules = config.RULES_BY_PROFILE[profile]
+
+    def keep_expr(exclude: str | None) -> str:
+        rs = [r for r in rules if r["id"] != exclude]
+        dim_terms: dict[str, list[str]] = {}
+        for r in rs:
+            dim_terms.setdefault(r["dimension"], []).append(
+                f"pct_{r['id']} * {float(r['weight'])!r}"
+            )
+        # same dimension order AND same left-assoc rule order as
+        # rules.score_columns, so the float sums are bit-identical
+        total = " + ".join(
+            sqlgen.bankers_int(" + ".join(dim_terms.get(d, ["0.0"])))
+            for d in config.DIMENSIONS
+        )
+        ids = {r["id"] for r in rs}
+        hard = " AND ".join(
+            f"pct_{rid} >= 0.5" for rid in config.HARD_RULES if rid in ids
+        ) or "TRUE"
+        t = config.thresholds_for(profile)
+        return f"((({total}) >= {t['sufficient']}) AND {hard})"
+
+    kb = keep_expr(None)
+    kw_cols = ",\n    ".join(
+        f"{keep_expr(r['id'])} AS kw_{r['id']}" for r in rules
+    )
+    agg_cols = ", ".join(
+        f"coalesce(sum(kw_{r['id']}::BIGINT), 0)::BIGINT AS kw_{r['id']}, "
+        f"coalesce(sum((kw_{r['id']} AND NOT kb)::BIGINT), 0)::BIGINT "
+        f"AS adm_{r['id']}, "
+        f"coalesce(sum((NOT kw_{r['id']} AND kb)::BIGINT), 0)::BIGINT "
+        f"AS dro_{r['id']}"
+        for r in rules
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{r['id']}' AS rule_id, kb AS n_keep_base, "
+        f"kw_{r['id']} AS n_keep_without, adm_{r['id']} AS n_admitted, "
+        f"dro_{r['id']} AS n_dropped FROM w"
+        for r in rules
+    )
+    return f"""{sqlgen.pct_with_clause(table, "doc_id")},
+f AS (SELECT {kb} AS kb,
+    {kw_cols}
+  FROM pct),
+w AS (SELECT coalesce(sum(kb::BIGINT), 0)::BIGINT AS kb, {agg_cols} FROM f)
+{unions}
+"""

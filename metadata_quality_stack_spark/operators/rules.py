@@ -150,9 +150,19 @@ def half_even_int(x: Column) -> Column:
     ).cast("int")
 
 
-def score_columns(pcts: dict[str, Column], profile: str) -> dict[str, Column]:
-    """points per rule -> dimension scores -> total -> rating -> keep."""
-    rules = config.RULES_BY_PROFILE[profile]
+def score_columns(
+    pcts: dict[str, Column], profile: str, exclude: str | None = None
+) -> dict[str, Column]:
+    """points per rule -> dimension scores -> total -> rating -> keep.
+
+    ``exclude`` drops one rule from the profile entirely (its points AND
+    its hard-gate membership) — the ablation question 'what would keep
+    look like without rule X', used by analytics.rule_ablation. Rule
+    order (hence float-sum association order) is preserved, so excluded
+    recomputation stays bit-identical to the SQL mirror."""
+    rules = [
+        r for r in config.RULES_BY_PROFILE[profile] if r["id"] != exclude
+    ]
     out: dict[str, Column] = {}
     dim_sum: dict[str, Column] = {}
     for r in rules:

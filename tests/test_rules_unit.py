@@ -72,3 +72,25 @@ def test_mean_word_len_bounds():
     pcts = oracle._native_pcts(f, "en", "s", None)
     assert pcts["mean_word_length"] == 0.0  # mean len 27 > 12
     assert math.isclose(pcts["word_diversity"], 1.0)
+
+
+def test_rule_ablation_directions(spark):
+    """Removing a failing HARD rule admits its victims; removing a
+    passing points-carrying rule can only lose points (never admit);
+    invariants: n_keep_without = base + admitted - dropped, and a rule
+    whose pct is 1.0 everywhere admits nobody."""
+    from metadata_quality_stack_spark.operators import analytics
+
+    good = "the quick brown fox jumps over the lazy dog and runs on. " * 20
+    docs = spark.createDataFrame(
+        [
+            (0, good, "en", "src1", len(good)),       # passes everything
+            (1, "zz qq ww " * 40, "en", "src1", 360), # fails stopword gate
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.rule_id: r for r in analytics.rule_ablation(docs).collect()}
+    for r in rows.values():
+        assert r.n_keep_without == r.n_keep_base + r.n_admitted - r.n_dropped
+    sw = rows["stopword_density"]
+    assert sw.n_admitted >= 1  # the gibberish doc comes back without the gate
