@@ -218,3 +218,33 @@ def test_profile_flip_matrix_single_scan_no_join(spark):
     plan = plan_str(analytics.profile_flip_matrix(docs), mode="simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_snapshot_diff_exchanges_are_text_free(spark):
+    """snapshot_diff collapses each side to (url, 8-byte content hash)
+    BEFORE the full-outer join, so document text never crosses an
+    Exchange — the asymmetry that makes a crawl-over-crawl diff cheap
+    at 100 TB (broadcast disabled so the join shape materializes)."""
+    import re
+
+    from metadata_quality_stack_spark.operators import urlops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", F.concat(F.lit("u/"), "doc_id").alias("url_norm")
+    )
+    old_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(
+            urlops.snapshot_diff(
+                docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_conf)
+    ex_ids = set(re.findall(r"\((\d+)\)\s+Exchange", plan))
+    assert ex_ids
+    for i in ex_ids:
+        m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
+        blk = m.group(1) if m else ""
+        assert "text#" not in blk, f"Exchange ({i}) shuffles text:\n{blk}"
