@@ -636,6 +636,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drop_duplicated_lines"] = lambda s, d: dedup.drop_duplicated_lines(
         _t(s, d, "documents")
     )
+    # exact-substring dedup (Lee et al. 2021): census + keep-one-copy scrub
+    q["dup_span_stats"] = lambda s, d: dedup.dup_span_stats(
+        _t(s, d, "documents")
+    )
+    q["drop_duplicated_spans"] = lambda s, d: dedup.drop_duplicated_spans(
+        _t(s, d, "documents")
+    )
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
     # dedup-audit readout: distribution of near-dup cluster sizes
     q["dedup_cluster_sizes"] = lambda s, d: dedup.cluster_size_histogram(
@@ -1122,6 +1129,8 @@ SELECT doc_id, source FROM (
     )
     o["train_val_test_split"] = sampling.train_val_test_split_sql()
     o["dup_ngram_fraction"] = dedup.dup_ngram_fraction_sql()
+    o["dup_span_stats"] = dedup.dup_span_stats_sql()
+    o["drop_duplicated_spans"] = dedup.drop_duplicated_spans_sql()
     o["corpus_token_budget"] = sampling.corpus_token_budget_sql()
     o["dsir_logweights"] = dsir.dsir_logweights_sql()
     o["dsir_sample"] = dsir.dsir_sample_sql()

@@ -723,3 +723,214 @@ FROM batch b
 JOIN first f USING (fingerprint)
 LEFT JOIN corpus_fp c USING (fingerprint)
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicated-span) dedup — Lee et al. 2021,
+# arXiv:2107.06499 ("Deduplicating Training Data Makes Language Models
+# Better"). The published method builds a corpus-wide suffix array and
+# removes every repeated byte span >= 50 BPE tokens, keeping one copy.
+# A suffix array is a single-machine structure; the Spark re-expression
+# below gets the same keep-one-copy semantics from rolling token
+# windows: every occurrence of a duplicated W-token window EXCEPT the
+# globally-first one (ordered by (doc_id, pos)) marks its token range
+# for removal, and overlapping windows of a long repeated passage fuse
+# into one removed span for free because removal works on the covered
+# token-index SET. Window granularity is whole words (not BPE) so the
+# DuckDB oracle reproduces the run bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 10  # 50 BPE tokens in the paper; 10 words keeps small-SF tests meaningful
+
+
+def _span_occurrences(docs: DataFrame, w: int):
+    """(doc_id, pos, gh) for every W-token window; pos is 0-based."""
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    occ = base.select(
+        "doc_id", F.posexplode(word_ngrams(F.col("tk"), w)).alias("pos", "g")
+    ).select("doc_id", "pos", F.md5(F.encode(F.col("g"), "UTF-8")).alias("gh"))
+    return base, occ
+
+
+def _removed_windows(occ: DataFrame):
+    """Non-canonical occurrences of duplicated window hashes.
+
+    Shape: the occurrence-count aggregate partial-combines map-side, and
+    only hashes with cnt > 1 (the boilerplate minority) flow into the
+    row_number window — the cnt = 1 majority of a mostly-unique corpus
+    never enters the second exchange (the dup_ngram_fraction asymmetry).
+    Occurrence count, not distinct-doc count: a passage repeated WITHIN
+    one document is deduplicated too, exactly as in the paper."""
+    from pyspark.sql.window import Window
+
+    dup_hashes = (
+        occ.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gh")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("gh").orderBy("doc_id", "pos")
+    )
+    return occ.join(dup_hashes, "gh").withColumn("rn", rn).filter(
+        F.col("rn") > 1
+    )
+
+
+def dup_span_stats(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Census twin of :func:`drop_duplicated_spans`: per document, how
+    many of its W-token windows are non-canonical duplicates (would be
+    removed), without paying for text reassembly. The denominator is
+    recomputed map-only from the token count; exchanges carry 16-byte
+    hashes and int positions, never text."""
+    n_windows = F.greatest(
+        F.size(tokens(F.col("text"))) - (w - 1), F.lit(0)
+    ).cast("long")
+    _, occ = _span_occurrences(docs, w)
+    per_doc = (
+        _removed_windows(occ)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    return (
+        docs.select("doc_id", n_windows.alias("n_windows"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_windows").cast("double")
+                    / F.nullif(F.col("n_windows").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_window_fraction"),
+        )
+    )
+
+
+def drop_duplicated_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Rebuild each document with every repeated >= W-token span removed
+    except its globally-first occurrence (min (doc_id, pos)). Output
+    text is the space-join of surviving tokens — whitespace-canonical by
+    contract, like the paper's token-level cut.
+
+    Scale shape: duplicate detection moves (gh, doc_id, pos) triples
+    only; the removal side aggregates to ONE row per affected document
+    (a sorted int array of covered token indexes, bounded by doc
+    length), so the join back to the text is broadcast-able whenever
+    duplication is the usual small minority — the document text itself
+    never shuffles. The per-token membership probe is array_contains on
+    a materialized column (bound reference, no subtree re-eval)."""
+    base, occ = _span_occurrences(docs, w)
+    rem = (
+        _removed_windows(occ)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            ).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("idx")).alias("removed"))
+    )
+    joined = base.join(rem, "doc_id", "left").select(
+        "doc_id",
+        "tk",
+        F.coalesce("removed", F.array().cast("array<int>")).alias("removed"),
+    )
+    return joined.select(
+        "doc_id",
+        # coalesce: NULL text canonicalizes to '' exactly as in the SQL
+        # mirror (and in drop_duplicated_lines)
+        F.coalesce(
+            F.array_join(
+                F.filter(
+                    F.col("tk"),
+                    lambda x, i: ~F.array_contains(F.col("removed"), i),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.size("removed").cast("long").alias("n_removed_tokens"),
+    )
+
+
+def drop_duplicated_spans_sql(table: str = "documents", w: int = SPAN_W) -> str:
+    """DuckDB mirror of :func:`drop_duplicated_spans` (1-based list
+    subscripts; same (doc_id, pos) canonical-occurrence order)."""
+    toks = "list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM {table}),
+arr AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= {w} THEN
+      list_transform(generate_series(1, len(tk) - {w - 1}),
+                     i -> md5(array_to_string(tk[i:i+{w - 1}], ' ')))
+    ELSE [] END AS ghs
+  FROM t
+),
+occ AS (SELECT doc_id, unnest(ghs) AS gh, generate_subscripts(ghs, 1) AS pos
+        FROM arr),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) > 1),
+ranked AS (
+  SELECT o.doc_id, o.pos,
+         row_number() OVER (PARTITION BY o.gh ORDER BY o.doc_id, o.pos) AS rn
+  FROM occ o JOIN dup USING (gh)
+),
+rem AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {w - 1})) AS idx
+  FROM ranked WHERE rn > 1
+),
+remset AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY 1),
+toksx AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS tpos
+          FROM t),
+kept AS (
+  SELECT tx.doc_id, string_agg(tx.tok, ' ' ORDER BY tx.tpos) AS clean_text
+  FROM toksx tx LEFT JOIN rem ON rem.doc_id = tx.doc_id AND rem.idx = tx.tpos
+  WHERE rem.idx IS NULL
+  GROUP BY tx.doc_id
+)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(rs.n_removed, 0) AS BIGINT) AS n_removed_tokens
+FROM {table} d
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN remset rs USING (doc_id)
+"""
+
+
+def dup_span_stats_sql(table: str = "documents", w: int = SPAN_W) -> str:
+    """DuckDB mirror of :func:`dup_span_stats`."""
+    toks = "list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM {table}),
+arr AS (
+  SELECT doc_id, greatest(len(tk) - {w - 1}, 0) AS n_windows,
+    CASE WHEN len(tk) >= {w} THEN
+      list_transform(generate_series(1, len(tk) - {w - 1}),
+                     i -> md5(array_to_string(tk[i:i+{w - 1}], ' ')))
+    ELSE [] END AS ghs
+  FROM t
+),
+occ AS (SELECT doc_id, unnest(ghs) AS gh, generate_subscripts(ghs, 1) AS pos
+        FROM arr),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) > 1),
+ranked AS (
+  SELECT o.doc_id,
+         row_number() OVER (PARTITION BY o.gh ORDER BY o.doc_id, o.pos) AS rn
+  FROM occ o JOIN dup USING (gh)
+),
+pd AS (SELECT doc_id, count(*) AS n_dup FROM ranked WHERE rn > 1 GROUP BY 1)
+SELECT a.doc_id,
+  CAST(a.n_windows AS BIGINT) AS n_windows,
+  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+  round(coalesce(CAST(pd.n_dup AS DOUBLE)
+                 / nullif(CAST(a.n_windows AS DOUBLE), 0.0), 0.0), 6)
+    AS dup_window_fraction
+FROM arr a LEFT JOIN pd USING (doc_id)
+"""

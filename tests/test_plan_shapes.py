@@ -248,3 +248,25 @@ def test_snapshot_diff_exchanges_are_text_free(spark):
         m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
         blk = m.group(1) if m else ""
         assert "text#" not in blk, f"Exchange ({i}) shuffles text:\n{blk}"
+
+
+def test_span_dedup_text_never_shuffles(spark):
+    """drop_duplicated_spans detects duplicates on (gh, doc_id, pos)
+    triples and aggregates removal indexes to one row per affected doc,
+    so every Exchange carries hashes/ints — the token arrays / text stay
+    on the scan side of a broadcast-able left join."""
+    import re
+
+    from metadata_quality_stack_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_str(dedup.drop_duplicated_spans(docs))
+    ex_ids = set(re.findall(r"\((\d+)\)\s+Exchange", plan))
+    assert ex_ids
+    for i in ex_ids:
+        m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
+        blk = m.group(1) if m else ""
+        assert "text#" not in blk and "tk#" not in blk, (
+            f"Exchange ({i}) shuffles text/tokens:\n{blk}"
+        )
+    assert "BroadcastHashJoin LeftOuter" in plan
