@@ -463,6 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["full_pipeline_micro"] = lambda s, d: micro_lm.full_pipeline_micro(
         _t(s, d, "documents")
     )
+    # CCNet head/middle/tail split: per-language perplexity terciles
+    q["ccnet_ppl_buckets"] = lambda s, d: micro_lm.ccnet_ppl_buckets(
+        _t(s, d, "documents")
+    )
     # gate-verifiable cardinality sketch (KMV over md5-60bit hashes;
     # deterministic, so the estimate itself hash-matches cross-engine)
     q["kmv_distinct_estimate"] = (
@@ -483,6 +487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # C4 line-level cleaning (terminal punct + min words + blocklists)
     q["c4_line_filter"] = lambda s, d: textops.c4_line_filter(
+        _t(s, d, "documents")
+    )
+    # encoding-damage census (U+FFFD / C1 / double-encoded UTF-8 pairs)
+    q["mojibake_stats"] = lambda s, d: textops.mojibake_stats(
         _t(s, d, "documents")
     )
     # FineWeb-style domain-level filtering: drop whole low-keep-rate
@@ -629,6 +637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
     # C4-style corpus-level line dedup (census + scrub transform)
     q["line_dup_stats"] = lambda s, d: dedup.line_dup_stats(_t(s, d, "documents"))
+    # per-source boilerplate census (nav/footer lines frequent WITHIN a
+    # domain; the by-source complement of the corpus-level line census)
+    q["boilerplate_by_source"] = lambda s, d: dedup.boilerplate_by_source(
+        _t(s, d, "documents")
+    )
     # MassiveText-style inter-document duplicated-n-gram census
     q["dup_ngram_fraction"] = lambda s, d: dedup.dup_ngram_fraction(
         _t(s, d, "documents")
@@ -652,6 +665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # MinHash/LSH near-dup cluster (the fuzzy twin of curate's exact
     # min_by dedup and similarity.semantic_dedup)
     q["fuzzy_dedup_keep"] = lambda s, d: dedup.fuzzy_dedup_keep(
+        _t(s, d, "documents")
+    )
+    # quality-aware representative: keep the longest member per cluster
+    q["fuzzy_dedup_keep_best"] = lambda s, d: dedup.fuzzy_dedup_keep_best(
         _t(s, d, "documents")
     )
 
@@ -1161,6 +1178,7 @@ FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2
     o["langid_model_histogram"] = micro_lm.langid_model_histogram_sql()
     o["perplexity_model_scores"] = micro_lm.perplexity_model_scores_sql()
     o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
+    o["ccnet_ppl_buckets"] = micro_lm.ccnet_ppl_buckets_sql()
     o["kmv_distinct_estimate"] = sketches.kmv_distinct_estimate_sql()
     o["skew_report"] = analytics.skew_report_sql("documents", "lang")
     # merge-of-shards == sketch-of-whole: the oracle states the whole
@@ -1170,6 +1188,7 @@ SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
 """
     o["normalize_text"] = textops.normalize_text_sql()
     o["c4_line_filter"] = textops.c4_line_filter_sql()
+    o["mojibake_stats"] = textops.mojibake_stats_sql()
     o["source_quality_filter"] = f"""
 WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
 rates AS (SELECT source,
@@ -1399,6 +1418,22 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
     o["fuzzy_dedup_keep"] = (
         f"SELECT doc_id, (cluster = doc_id) AS keep FROM ({clusters_sql})"
     )
+    o["fuzzy_dedup_keep_best"] = f"""
+WITH labels AS ({clusters_sql}),
+scores AS (
+  SELECT doc_id,
+    CAST(coalesce(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'),
+                                  x -> x <> '')), 0) AS BIGINT) AS n_words
+  FROM documents
+),
+r AS (
+  SELECT l.doc_id, l.cluster, s.n_words,
+    row_number() OVER (PARTITION BY l.cluster
+                       ORDER BY s.n_words DESC, l.doc_id ASC) AS rn
+  FROM labels l JOIN scores s USING (doc_id)
+)
+SELECT doc_id, cluster, n_words, (rn = 1) AS keep FROM r
+"""
     o["ngram_jaccard_pairs"] = f"""
 WITH lim AS (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
 sh AS (SELECT doc_id, unnest({sh}) AS s FROM lim),
@@ -1435,6 +1470,7 @@ FROM (
 )
 WHERE round(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) >= 0.2
 """
+    o["boilerplate_by_source"] = dedup.boilerplate_by_source_sql()
     o["line_dup_stats"] = """
 WITH lines AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents

@@ -934,3 +934,156 @@ SELECT a.doc_id,
     AS dup_window_fraction
 FROM arr a LEFT JOIN pd USING (doc_id)
 """
+
+
+def fuzzy_dedup_keep_best(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Quality-aware twin of :func:`fuzzy_dedup_keep`: per near-dup
+    cluster keep the LONGEST member (word count; ties -> lowest doc_id)
+    instead of the arbitrary min-id one — the representative rule
+    curation pipelines actually apply when the near-dups are truncated /
+    boilerplate-wrapped variants of the same page and one copy is
+    strictly more complete than the rest.
+
+    Scale shape: cluster labels join a (doc_id, n_words) table — two
+    8-byte ints per doc, computed map-only in the scan; the row_number
+    window partitions on cluster ids (near-dup clusters are tiny), and
+    text never moves.
+
+    Columns: doc_id, cluster, n_words, keep."""
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(docs, max_iter=max_iter)
+    scores = docs.select(
+        "doc_id",
+        F.greatest(F.size(tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_words"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(
+            F.desc("n_words"), F.asc("doc_id")
+        )
+    )
+    return (
+        clusters.join(scores, "doc_id")
+        .withColumn("rn", rn)
+        .select(
+            "doc_id", "cluster", "n_words", (F.col("rn") == 1).alias("keep")
+        )
+    )
+
+
+# Per-source boilerplate census: navigation/footer lines repeat across
+# most pages of ONE domain but are globally rare, so the corpus-level
+# line_dup_stats misses them on small domains and over-fires on big
+# ones. The standard crawl-cleaning rule (trafilatura/jusText family)
+# keys line frequency BY SOURCE.
+BOILER_MIN_DOCS = 2           # a line must appear in >= 2 of the domain's docs
+BOILER_FRAC_PPM = 300_000     # ... and in >= 30% of them (integer ppm)
+
+
+def boilerplate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-document boilerplate-line census, keyed by source: a line is
+    boilerplate iff, within the doc's source, it occurs in >=
+    BOILER_MIN_DOCS distinct documents AND in >= BOILER_FRAC_PPM
+    (integer ppm) of the source's documents. Emits the per-doc count
+    and ppm share so a downstream strip/penalty stage can act on it.
+
+    Scale shape: lines explode to 16-byte md5 hashes (text never
+    shuffles); the per-(source, hash) doc-frequency agg is the one real
+    exchange; the per-source doc-count table is bounded by the number
+    of sources and broadcasts; only hashes that PASS the boilerplate
+    test flow into the join-back, so a mostly-unique corpus pays the
+    second exchange on the boilerplate minority only. Null sources
+    group under '' on both engines, dodging null-key join semantics.
+
+    Columns: doc_id, source, n_lines, n_boiler_lines, boiler_ppm."""
+    src = F.coalesce(F.col("source"), F.lit("")).alias("src")
+    n_lines_expr = F.size(
+        F.filter(F.split("text", "\n", -1), lambda x: F.trim(x) != "")
+    ).cast("long")
+    source_docs = (
+        docs.select(src)
+        .groupBy("src")
+        .agg(F.count("*").alias("n_docs_src"))
+    )
+    hashed = (
+        docs.select(
+            "doc_id", src, F.explode(F.split("text", "\n", -1)).alias("line")
+        )
+        .filter(F.trim(F.col("line")) != "")
+        .select(
+            "doc_id", "src", F.md5(F.encode(F.col("line"), "UTF-8")).alias("lh")
+        )
+    )
+    boiler = (
+        hashed.groupBy("src", "lh")
+        .agg(F.countDistinct("doc_id").alias("sdf"))
+        .join(F.broadcast(source_docs), "src")
+        .filter(
+            (F.col("sdf") >= BOILER_MIN_DOCS)
+            & (
+                F.col("sdf") * F.lit(1_000_000)
+                >= F.lit(BOILER_FRAC_PPM) * F.col("n_docs_src")
+            )
+        )
+        .select("src", "lh")
+    )
+    n_boiler = (
+        hashed.join(boiler, ["src", "lh"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler_lines"))
+    )
+    base = docs.select(
+        "doc_id", "source", n_lines_expr.alias("n_lines")
+    ).filter(F.col("n_lines") > 0)
+    nb = F.coalesce("n_boiler_lines", F.lit(0)).cast("long")
+    return base.join(n_boiler, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_lines",
+        nb.alias("n_boiler_lines"),
+        F.expr(
+            "(coalesce(n_boiler_lines, 0) * 1000000) div n_lines"
+        ).alias("boiler_ppm"),
+    )
+
+
+def boilerplate_by_source_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`boilerplate_by_source` (same md5 line
+    hashing, same integer-ppm comparison — cross-multiplied so neither
+    engine divides)."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, coalesce(source, '') AS src,
+         unnest(string_split(text, chr(10))) AS line
+  FROM {table}
+),
+nb AS (
+  SELECT doc_id, src, md5(line) AS lh FROM lines WHERE trim(line) <> ''
+),
+sd AS (SELECT coalesce(source, '') AS src, count(*) AS n_docs_src
+       FROM {table} GROUP BY 1),
+boiler AS (
+  SELECT src, lh
+  FROM (SELECT src, lh, count(DISTINCT doc_id) AS sdf FROM nb GROUP BY 1, 2)
+  JOIN sd USING (src)
+  WHERE sdf >= {BOILER_MIN_DOCS}
+    AND sdf * 1000000 >= {BOILER_FRAC_PPM} * n_docs_src
+),
+cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_boiler_lines
+  FROM nb JOIN boiler USING (src, lh) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> ''))::BIGINT AS n_lines
+  FROM {table}
+)
+SELECT b.doc_id, b.source, b.n_lines,
+       coalesce(c.n_boiler_lines, 0)::BIGINT AS n_boiler_lines,
+       (coalesce(c.n_boiler_lines, 0) * 1000000) // b.n_lines AS boiler_ppm
+FROM base b LEFT JOIN cnt c USING (doc_id)
+WHERE b.n_lines > 0
+"""

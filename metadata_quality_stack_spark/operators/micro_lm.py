@@ -694,3 +694,49 @@ SELECT k.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
        END AS ppl
 FROM dkt k LEFT JOIN agg a USING (doc_id)
 """
+
+
+def ccnet_ppl_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail split (arXiv:1911.00359 §3.3): per
+    PREDICTED language, rank documents by LM perplexity and cut into
+    equal thirds — head = the most-fluent third (kept for high-quality
+    corpora), tail = the least-fluent (dropped or down-sampled). Fully
+    deterministic across engines: the micro ppl is integer-micro exact
+    and ties break on doc_id.
+
+    Scale note: ntile here is a per-language global sort (one exchange
+    keyed by few, skew-prone language keys). At 100 TB the same split
+    computes tercile CUTOFFS from the deterministic sampler
+    (sampling.score_quantiles_sampled pattern) and assigns buckets
+    map-only; the ntile form is the small-scale / oracle-exact twin.
+
+    Columns: doc_id, lang_pred, ppl, ppl_bucket."""
+    from pyspark.sql.window import Window
+
+    base = _model_frame(docs).select(
+        "doc_id", _lang_pred_col().alias("lang_pred"), _ppl_col().alias("ppl")
+    )
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang_pred").orderBy("ppl", "doc_id")
+    )
+    return base.select(
+        "doc_id",
+        "lang_pred",
+        "ppl",
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+def ccnet_ppl_buckets_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`ccnet_ppl_buckets` (same ntile spec and
+    (ppl, doc_id) total order)."""
+    return f"""
+WITH m AS ({micro_model_columns_sql(table)})
+SELECT doc_id, lang_pred, ppl,
+  CASE ntile(3) OVER (PARTITION BY lang_pred ORDER BY ppl, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM m
+"""

@@ -719,3 +719,83 @@ SELECT lang, n_docs, sum_chars, sum_tokens,
             THEN (sum_chars * 1000000) // sum_tokens END AS chars_per_token_ppm
 FROM per
 """
+
+
+# Encoding-damage (mojibake) detection — the crawl-health signal that
+# catches double-encoded UTF-8 and failed decodes BEFORE they poison
+# langid/perplexity stats. Patterns are heuristic but classic:
+#   - U+FFFD: a decoder already replaced an undecodable byte;
+#   - raw C1 controls U+0080-U+009F: windows-1252 bytes decoded as
+#     latin-1 (no legitimate web text contains C1 codepoints);
+#   - U+00C2/U+00C3 + Latin-1-supplement trail: a 2-byte UTF-8 sequence
+#     decoded as latin-1 then re-encoded ("CafÃ©", "Â " for NBSP);
+#   - U+00E2 + (U+0080 | U+20AC): the lead pair of a 3-byte UTF-8
+#     punctuation char (curly quotes/dashes) under latin-1 OR cp1252
+#     ("donâ€™t").
+# All four use \x{..} hex classes, the escape Java regex and RE2 parse
+# identically (probe-verified); both engines scan leftmost-first
+# non-overlapping, so the union alternation counts match cross-engine.
+MOJI_REPLACEMENT = "\\x{FFFD}"
+MOJI_C1 = "[\\x{80}-\\x{9F}]"
+MOJI_LATIN1_PAIR = "[\\x{C2}\\x{C3}][\\x{80}-\\x{BF}]"
+MOJI_E2_PAIR = "\\x{E2}[\\x{80}\\x{20AC}]"
+# order matters (leftmost-first): pairs before the bare-C1 fallback so a
+# C2/C3/E2-led artifact consumes its trail char as ONE site.
+MOJI_UNION = (
+    f"{MOJI_REPLACEMENT}|{MOJI_LATIN1_PAIR}|{MOJI_E2_PAIR}|{MOJI_C1}"
+)
+MOJI_PPM_THRESHOLD = 2_000  # >=0.2% artifact sites => damaged page
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document encoding-damage census: counts of the four artifact
+    families above, a non-overlapping union count, artifact sites per
+    million chars (integer div — order-free), and the damage flag
+    (any U+FFFD, or ppm >= threshold). MAP-ONLY: five regexp_count
+    passes in one codegen projection, no Exchange; at 100 TB this rides
+    the same scan as the other per-doc signals.
+
+    Columns: doc_id, n_chars, n_replacement, n_c1, n_latin1_pair,
+    n_e2_pair, n_artifacts, mojibake_ppm, mojibake."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t).cast("long")
+    cnt = lambda pat: F.regexp_count(t, F.lit(pat)).cast("long")  # noqa: E731
+    counted = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        cnt(MOJI_REPLACEMENT).alias("n_replacement"),
+        cnt(MOJI_C1).alias("n_c1"),
+        cnt(MOJI_LATIN1_PAIR).alias("n_latin1_pair"),
+        cnt(MOJI_E2_PAIR).alias("n_e2_pair"),
+        cnt(MOJI_UNION).alias("n_artifacts"),
+    )
+    # div on staged columns (no regex inside F.expr: Spark's SQL-literal
+    # parser would eat the pattern's backslashes)
+    ppm = F.expr("(n_artifacts * 1000000) div greatest(n_chars, 1)")
+    return counted.select(
+        "*",
+        ppm.alias("mojibake_ppm"),
+        (
+            (F.col("n_replacement") > 0) | (ppm >= MOJI_PPM_THRESHOLD)
+        ).alias("mojibake"),
+    )
+
+
+def mojibake_stats_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror (same patterns; RE2 parses \\x{..} identically;
+    // is DuckDB's integer division, matching Spark's div)."""
+    t = f"coalesce({text_col}, '')"
+    c = lambda pat: f"len(regexp_extract_all({t}, '{pat}'))::BIGINT"  # noqa: E731
+    ppm = f"(({c(MOJI_UNION)}) * 1000000) // greatest(length({t}), 1)"
+    return f"""
+SELECT doc_id, length({t})::BIGINT AS n_chars,
+       {c(MOJI_REPLACEMENT)} AS n_replacement,
+       {c(MOJI_C1)} AS n_c1,
+       {c(MOJI_LATIN1_PAIR)} AS n_latin1_pair,
+       {c(MOJI_E2_PAIR)} AS n_e2_pair,
+       {c(MOJI_UNION)} AS n_artifacts,
+       {ppm} AS mojibake_ppm,
+       ({c(MOJI_REPLACEMENT)} > 0 OR {ppm} >= {MOJI_PPM_THRESHOLD})
+         AS mojibake
+FROM {table}
+"""

@@ -258,3 +258,54 @@ def test_new_dedup_ops_plan_shapes(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_dedup_keep_best_prefers_longest(spark):
+    """Quality-aware representative: the LONGEST member of a near-dup
+    cluster wins (ties -> lowest doc_id); singletons always keep."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),                      # near-dup cluster {0,1,2}
+        (1, base + " lambda mu nu"),    # longest -> the keeper
+        (2, base + " lambda"),
+        (3, "completely different words that share no shingles at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.keep, r.n_words)
+        for r in dedup.fuzzy_dedup_keep_best(docs).collect()
+    }
+    assert got[1][0] and not got[0][0] and not got[2][0]
+    assert got[3][0]  # singleton
+    assert got[1][1] == 13
+    # tie on length -> min doc_id wins
+    tie = spark.createDataFrame(
+        [(7, base), (8, base)], "doc_id long, text string"
+    )
+    got_tie = {r.doc_id: r.keep for r in dedup.fuzzy_dedup_keep_best(tie).collect()}
+    assert got_tie == {7: True, 8: False}
+
+
+def test_boilerplate_by_source_keys_on_domain(spark):
+    """A footer line repeated across one domain's pages is boilerplate
+    THERE, but the same line appearing once on another domain is not;
+    null sources group together; zero-line docs drop."""
+    footer = "copyright example corp all rights reserved"
+    rows = [
+        (0, "a", f"unique zero\n{footer}"),
+        (1, "a", f"unique one\n{footer}"),
+        (2, "a", f"unique two\n{footer}"),
+        (3, "b", f"only here\n{footer}"),   # 1/1 docs on b: sdf<2 -> clean
+        (4, None, "shared null line"),
+        (5, None, "shared null line"),
+        (6, "a", "   \n  "),                # zero non-blank lines -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in dedup.boilerplate_by_source(docs).collect()}
+    assert 6 not in out
+    for i in (0, 1, 2):
+        assert out[i].n_boiler_lines == 1 and out[i].n_lines == 2, i
+        assert out[i].boiler_ppm == 500_000
+    assert out[3].n_boiler_lines == 0
+    # null sources form one group: 2/2 docs share the line -> boiler
+    assert out[4].n_boiler_lines == 1 and out[5].n_boiler_lines == 1

@@ -236,3 +236,18 @@ def test_langid_scores_match_pure_python(spark):
         assert got[i]["n_grams"] == n, i
         for lang in LANGS:
             assert got[i][f"s_{lang}"] == sums[lang], (i, lang)
+
+
+def test_ccnet_buckets_equal_thirds_head_is_fluent(spark):
+    """Per predicted language the split is into (near-)equal thirds and
+    head holds the LOWEST-perplexity (most fluent) docs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = micro_lm.ccnet_ppl_buckets(docs).toPandas()
+    for lang, grp in out.groupby("lang_pred"):
+        sizes = grp["ppl_bucket"].value_counts()
+        # ntile: bucket sizes differ by at most 1
+        assert sizes.max() - sizes.min() <= 1, (lang, dict(sizes))
+        if {"head", "tail"} <= set(sizes.index):
+            assert grp[grp.ppl_bucket == "head"].ppl.max() <= (
+                grp[grp.ppl_bucket == "tail"].ppl.min()
+            )

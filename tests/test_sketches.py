@@ -195,3 +195,63 @@ def test_c4_line_filter_is_map_only(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = textops.c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mojibake_stats_hostile_and_parity(spark, tmp_path):
+    """Seeded artifacts are counted per family; clean multilingual text
+    (including real accents and CJK) stays flagged FALSE; null/empty
+    survive; and the DuckDB mirror hash-matches on the same rows."""
+    import duckdb
+
+    from metadata_quality_stack_spark.operators import textops
+
+    cafe_bad = "Caf" + chr(0xC3) + chr(0xA9)          # double-encoded e-acute
+    quote_l1 = "don" + chr(0xE2) + chr(0x80) + chr(0x99) + "t"  # latin-1 view
+    quote_cp = "don" + chr(0xE2) + chr(0x20AC) + chr(0x2122) + "t"  # cp1252
+    rows = [
+        (0, cafe_bad + " ok"),
+        (1, quote_l1 + " and " + quote_cp),
+        (2, "bad byte " + chr(0xFFFD) + " here"),
+        (3, chr(0x92) + chr(0x85)),                    # stray C1 controls
+        (4, "café naïve résumé — fine"),               # REAL accents: clean
+        (5, "你好世界 مرحبا עולם"),                      # CJK/RTL: clean
+        (6, ""),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.mojibake_stats(df).collect()}
+    assert out[0]["n_latin1_pair"] == 1 and out[0]["mojibake"]
+    assert out[1]["n_e2_pair"] == 2 and out[1]["mojibake"]
+    assert out[2]["n_replacement"] == 1 and out[2]["mojibake"]
+    # doc 2 is flagged by ANY replacement char even below the ppm bar
+    assert out[2]["mojibake_ppm"] < textops.MOJI_PPM_THRESHOLD * 40
+    assert out[3]["n_c1"] == 2 and out[3]["mojibake"]
+    for clean_id in (4, 5, 6, 7):
+        assert out[clean_id]["n_artifacts"] == 0, clean_id
+        assert not out[clean_id]["mojibake"], clean_id
+    # union consumes each pair as ONE site; the latin-1 variant's third
+    # byte (U+0099) is a bare-C1 site of its own -> 2 pairs + 1 C1
+    assert out[1]["n_artifacts"] == 3
+    # cross-engine parity on exactly these hostile rows
+    pq = str(tmp_path / "moji.parquet")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    got = sorted(tuple(r) for r in textops.mojibake_stats(df).collect())
+    want = sorted(tuple(r) for r in con.sql(textops.mojibake_stats_sql()).fetchall())
+    assert got == want
+
+
+def test_mojibake_stats_is_map_only(spark):
+    from metadata_quality_stack_spark.operators import textops
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textops.mojibake_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
