@@ -285,6 +285,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_diff"] = snapshot_diff_q
 
+    # incremental re-score: carry unchanged urls' stored scores, run the
+    # scoring pipeline ONLY on added/changed urls (same synthesized
+    # snapshot pair as snapshot_diff, so all actions are reachable)
+    def rescore_delta_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.operators.rules import apply_quality
+
+        pages = _t(s, d, "documents").select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            urlops.normalize_url(F.expr(SYN_URL_SQL)).alias("url_norm"),
+        )
+        old = apply_quality(
+            pages.filter(F.col("doc_id") < 300), meta_cols=analytics.DOC_META
+        )
+        new = pages.filter(F.col("doc_id") >= 100)
+        return urlops.rescore_delta(
+            old,
+            new,
+            score_fn=lambda df: apply_quality(
+                df, meta_cols=analytics.DOC_META
+            ),
+        )
+
+    q["rescore_delta"] = rescore_delta_q
+
     # Bloom pre-filter over canonical urls: bitmap built on the first
     # 300 docs' urls, the rest probed map-only; cross-range collisions
     # via the doc_id % 400 page key give true positives at sf0.01
@@ -1846,6 +1874,43 @@ SELECT doc_id, source FROM n WHERE domain NOT IN ({blocked_list})
         f"SELECT * FROM ({_snap}) WHERE doc_id < 300",
         f"SELECT * FROM ({_snap}) WHERE doc_id >= 100",
     )
+    _h_sql = "(('0x' || substr(md5(text), 1, 15))::BIGINT)"
+    _dpages = (
+        f"SELECT doc_id, text, lang, source, n_chars, {_h_sql} AS h, "
+        f"{url_norm} AS url_norm "
+        f"FROM (SELECT *, {SYN_URL_SQL} AS url FROM documents)"
+    )
+    _old_sc = sqlgen.native_scoring_sql(table="oldp", extra_cols=("url_norm", "h"))
+    _new_sc = sqlgen.native_scoring_sql(table="sel", extra_cols=("url_norm",))
+    o["rescore_delta"] = f"""
+WITH pages AS ({_dpages}),
+oldp AS (SELECT * FROM pages WHERE doc_id < 300),
+newp AS (SELECT * FROM pages WHERE doc_id >= 100),
+olds AS ({_old_sc}),
+old_bh AS (SELECT url_norm, h, min(total_score) AS total_score,
+                  min(rating) AS rating, min(keep) AS keep
+           FROM olds GROUP BY 1, 2),
+old_min AS (SELECT url_norm, min(h) AS h_old FROM old_bh GROUP BY 1),
+old_slim AS (SELECT b.url_norm, m.h_old, b.total_score, b.rating, b.keep
+             FROM old_bh b JOIN old_min m
+               ON b.url_norm = m.url_norm AND b.h = m.h_old),
+new_best AS (SELECT url_norm, min(h) AS h_new FROM newp GROUP BY 1),
+carried AS (SELECT n.url_norm, 'carried' AS action,
+                   o.total_score, o.rating, o.keep
+            FROM new_best n JOIN old_slim o
+              ON n.url_norm = o.url_norm AND o.h_old = n.h_new),
+need AS (SELECT n.url_norm, n.h_new
+         FROM new_best n LEFT JOIN old_slim o USING (url_norm)
+         WHERE o.h_old IS NULL OR o.h_old <> n.h_new),
+cand AS (SELECT p.* FROM newp p
+         JOIN need d ON p.url_norm = d.url_norm AND p.h = d.h_new),
+pick AS (SELECT url_norm, min(doc_id) AS doc_id FROM cand GROUP BY 1),
+sel AS (SELECT c.* FROM cand c JOIN pick USING (url_norm, doc_id)),
+sc AS ({_new_sc})
+SELECT url_norm, action, total_score, rating, keep FROM carried
+UNION ALL
+SELECT url_norm, 'scored' AS action, total_score, rating, keep FROM sc
+"""
     o["bloom_url_probe"] = bloom.bloom_probe_sql(
         f"SELECT * FROM ({_snap}) WHERE doc_id < 300",
         f"SELECT * FROM ({_snap}) WHERE doc_id >= 300",

@@ -342,3 +342,90 @@ j AS (SELECT CASE WHEN h_old IS NULL THEN 'added'
       FROM a FULL OUTER JOIN b USING (url_norm))
 SELECT status, count(*) AS n_urls FROM j GROUP BY status
 """
+
+
+def rescore_delta(
+    old_scored: DataFrame,
+    new_pages: DataFrame,
+    score_fn,
+    url_col: str = "url_norm",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental crawl re-score — the production answer to "a new
+    crawl arrived, how little can we recompute?": every url of the NEW
+    snapshot whose content hash matches the PREVIOUS snapshot carries
+    its stored score forward untouched; only added/changed urls (the
+    recrawl-churn minority) flow through ``score_fn`` (the full scoring
+    pipeline). Removed urls drop. Composes :func:`snapshot_diff`'s
+    hash-presence classification with the scoring machinery.
+
+    Scale shape: both snapshots collapse to (url, 60-bit content hash)
+    before any join — the carried majority never moves text; document
+    text is joined back ONLY for the changed/added urls (one
+    deterministic min-id capture per url), so the scoring pipeline's
+    cost scales with churn, not corpus size. Multi-capture urls are
+    deterministic end-to-end: the old side keeps the min-hash capture's
+    score (identical hash => identical text => identical score, so the
+    per-(url, hash) agg is value-free), the new side scores the min-id
+    capture of the min hash.
+
+    ``old_scored`` needs (url_col, content_col, total_score, rating,
+    keep); ``new_pages`` needs (url_col, content_col, id_col) plus
+    whatever ``score_fn`` consumes. Output: url_col, action
+    ('carried' | 'scored'), total_score, rating, keep."""
+    h = _h60_url  # content hash, same 60-bit md5 family as snapshot_diff
+    u, c, i = url_col, content_col, id_col
+
+    old_bh = (
+        old_scored.select(
+            u, h(F.col(c)).alias("h"), "total_score", "rating", "keep"
+        )
+        .groupBy(u, "h")
+        .agg(
+            F.min("total_score").alias("total_score"),
+            F.min("rating").alias("rating"),
+            F.min("keep").alias("keep"),
+        )
+    )
+    old_slim = (
+        old_bh.groupBy(u)
+        .agg(F.min(F.struct("h", "total_score", "rating", "keep")).alias("st"))
+        .select(
+            u,
+            F.col("st.h").alias("h_old"),
+            F.col("st.total_score").alias("total_score"),
+            F.col("st.rating").alias("rating"),
+            F.col("st.keep").alias("keep"),
+        )
+    )
+    new_best = (
+        new_pages.select(u, h(F.col(c)).alias("h_new"))
+        .groupBy(u)
+        .agg(F.min("h_new").alias("h_new"))
+    )
+    j = new_best.join(old_slim, u, "left")
+    carried = j.filter(F.col("h_old") == F.col("h_new")).select(
+        u,
+        F.lit("carried").alias("action"),
+        "total_score",
+        "rating",
+        "keep",
+    )
+    need = j.filter(
+        F.col("h_old").isNull() | (F.col("h_old") != F.col("h_new"))
+    ).select(u, "h_new")
+    cand = new_pages.withColumn("h", h(F.col(c))).join(
+        need,
+        on=[new_pages[u] == need[u], F.col("h") == F.col("h_new")],
+    ).select(new_pages["*"])
+    pick = cand.groupBy(u).agg(F.min(i).alias(i))
+    sel = cand.join(pick, [u, i])
+    scored = score_fn(sel).select(
+        u,
+        F.lit("scored").alias("action"),
+        "total_score",
+        "rating",
+        "keep",
+    )
+    return carried.unionByName(scored)

@@ -213,3 +213,54 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.status: r.n_urls for r in urlops.snapshot_diff(old, new).collect()}
     assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_rescore_delta_scores_only_churn(spark):
+    """Unchanged urls carry their OLD stored score without re-scoring
+    (proved by poisoning the old score), changed/added urls get fresh
+    scores, removed urls drop, and multi-capture urls resolve
+    deterministically (min-hash capture old side, min-id new side)."""
+    body = (
+        "This is a sufficiently long and reasonably clean webpage "
+        "paragraph that the native rules will score consistently. " * 3
+    )
+    old_rows = [
+        (1, "u/a", body + "alpha"),
+        (2, "u/b", body + "beta"),
+        (3, "u/gone", body + "gone"),
+    ]
+    new_rows = [
+        (11, "u/a", body + "alpha"),      # unchanged -> carried
+        (12, "u/b", body + "beta CHANGED"),  # changed -> scored
+        (13, "u/new", body + "new"),      # added -> scored
+        (14, "u/a", body + "alpha"),      # second capture, same text
+    ]
+    schema = "doc_id long, url_norm string, text string"
+    mk = lambda rows: spark.createDataFrame(rows, schema).select(  # noqa: E731
+        "*",
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    from metadata_quality_stack_spark.operators.analytics import DOC_META
+    from metadata_quality_stack_spark.operators.rules import apply_quality
+
+    score = lambda df: apply_quality(df, meta_cols=DOC_META)  # noqa: E731
+    # poison the stored score for u/a: if 'carried' truly reuses the old
+    # row, the poison must surface; if it re-scored, it could not
+    old = score(mk(old_rows)).withColumn(
+        "total_score",
+        F.when(F.col("url_norm") == "u/a", F.lit(999)).otherwise(
+            F.col("total_score")
+        ),
+    )
+    out = {
+        r.url_norm: r
+        for r in urlops.rescore_delta(old, mk(new_rows), score).collect()
+    }
+    assert set(out) == {"u/a", "u/b", "u/new"}  # u/gone removed
+    assert out["u/a"].action == "carried" and out["u/a"].total_score == 999
+    assert out["u/b"].action == "scored"
+    assert out["u/new"].action == "scored"
+    # fresh scores are real rule outputs, not carried poison
+    assert out["u/b"].total_score != 999 and out["u/new"].total_score != 999
