@@ -521,6 +521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mojibake_stats"] = lambda s, d: textops.mojibake_stats(
         _t(s, d, "documents")
     )
+    # type/token + hapax census (vocabulary-collapse spam signal)
+    q["lexical_diversity"] = lambda s, d: textops.lexical_diversity(
+        _t(s, d, "documents")
+    )
     # FineWeb-style domain-level filtering: drop whole low-keep-rate
     # sources via a broadcast anti-join (threshold 0.8 splits sf0.01)
     q["source_quality_filter"] = lambda s, d: analytics.source_quality_filter(
@@ -1217,6 +1221,7 @@ SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
     o["normalize_text"] = textops.normalize_text_sql()
     o["c4_line_filter"] = textops.c4_line_filter_sql()
     o["mojibake_stats"] = textops.mojibake_stats_sql()
+    o["lexical_diversity"] = textops.lexical_diversity_sql()
     o["source_quality_filter"] = f"""
 WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
 rates AS (SELECT source,

@@ -799,3 +799,85 @@ SELECT doc_id, length({t})::BIGINT AS n_chars,
          AS mojibake
 FROM {table}
 """
+
+
+def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Type/token lexical-diversity census — the vocabulary-collapse
+    spam signal the repetition suite approaches from the other side:
+    keyword-stuffed or template pages reuse a tiny vocabulary (low
+    type-token ratio, few hapax legomena), while natural prose keeps
+    both high. Tokens are lowercased whitespace words.
+
+    MAP-ONLY: the sorted token array is STAGED as a column, adjacency
+    flags come from zip_with over shifted slices of it (HOF arguments
+    bind once per row — the interpreted-HOF re-evaluation trap does not
+    apply), and run-length-1 detection pads with the empty-string
+    sentinel (tokens are never empty). No Exchange; rides the shared
+    document scan at 100 TB.
+
+    Columns: doc_id, n_tokens, n_types, ttr_ppm, hapax_ppm."""
+    toks = F.transform(
+        token_array(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda x: F.lower(x),
+    )
+    staged = docs.select(
+        "doc_id", F.array_sort(toks).alias("srt")
+    ).select(
+        "doc_id",
+        F.size("srt").cast("long").alias("n"),
+        F.concat(
+            F.array(F.lit("")), F.col("srt"), F.array(F.lit(""))
+        ).alias("ext"),
+    )
+    n = F.col("n")
+    cur = F.slice(F.col("ext"), 2, F.greatest(n, F.lit(0)))
+    prv = F.slice(F.col("ext"), 1, F.greatest(n, F.lit(0)))
+    nxt = F.slice(F.col("ext"), 3, F.greatest(n, F.lit(0)))
+    flagged = staged.select(
+        "doc_id",
+        "n",
+        F.zip_with(cur, prv, lambda a, b: a != b).alias("d_prev"),
+        F.zip_with(cur, nxt, lambda a, b: a != b).alias("d_next"),
+    ).select(
+        "doc_id",
+        "n",
+        F.size(F.filter("d_prev", lambda x: x)).cast("long").alias("n_types"),
+        F.size(
+            F.filter(
+                F.zip_with("d_prev", "d_next", lambda a, b: a & b),
+                lambda x: x,
+            )
+        )
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return flagged.select(
+        F.col("doc_id"),
+        n.alias("n_tokens"),
+        "n_types",
+        F.expr("(n_types * 1000000) div greatest(n, 1)").alias("ttr_ppm"),
+        F.expr("(n_hapax * 1000000) div greatest(n, 1)").alias("hapax_ppm"),
+    )
+
+
+def lexical_diversity_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror — the oracle states the semantics as the natural
+    unnest + per-token counts (no need to be map-only off-engine)."""
+    lows = _lows_sql(text_col)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({lows}) AS tok FROM {table}),
+per AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_types, 0)::BIGINT AS n_types,
+       (coalesce(a.n_types, 0) * 1000000)
+         // greatest(coalesce(a.n_tokens, 0), 1) AS ttr_ppm,
+       (coalesce(a.n_hapax, 0) * 1000000)
+         // greatest(coalesce(a.n_tokens, 0), 1) AS hapax_ppm
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""

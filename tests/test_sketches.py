@@ -255,3 +255,40 @@ def test_mojibake_stats_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_lexical_diversity_counts(spark):
+    from metadata_quality_stack_spark.operators import textops
+
+    rows = [
+        (0, "the cat sat on the mat"),   # 6 toks, 5 types (the x2), 4 hapax
+        (1, "spam spam spam spam"),      # 4 toks, 1 type, 0 hapax
+        (2, "Word word WORD"),           # case-folds to one type
+        (3, "one"),                      # single token: type and hapax
+        (4, ""),
+        (5, None),
+        (6, "  \t\n  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.lexical_diversity(docs).collect()}
+    assert (out[0].n_tokens, out[0].n_types, out[0].hapax_ppm) == (
+        6, 5, 4 * 1_000_000 // 6,
+    )
+    assert (out[1].n_tokens, out[1].n_types, out[1].hapax_ppm) == (4, 1, 0)
+    assert (out[2].n_tokens, out[2].n_types) == (3, 1)
+    assert (out[3].ttr_ppm, out[3].hapax_ppm) == (1_000_000, 1_000_000)
+    for i in (4, 5, 6):
+        assert (out[i].n_tokens, out[i].n_types, out[i].ttr_ppm) == (0, 0, 0), i
+
+
+def test_lexical_diversity_is_map_only(spark):
+    from metadata_quality_stack_spark.operators import textops
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textops.lexical_diversity(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
