@@ -525,6 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lexical_diversity"] = lambda s, d: textops.lexical_diversity(
         _t(s, d, "documents")
     )
+    # script census + Latin/Cyrillic homoglyph-word detection
+    q["script_census"] = lambda s, d: textops.script_census(
+        _t(s, d, "documents")
+    )
     # FineWeb-style domain-level filtering: drop whole low-keep-rate
     # sources via a broadcast anti-join (threshold 0.8 splits sf0.01)
     q["source_quality_filter"] = lambda s, d: analytics.source_quality_filter(
@@ -1222,6 +1226,7 @@ SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
     o["c4_line_filter"] = textops.c4_line_filter_sql()
     o["mojibake_stats"] = textops.mojibake_stats_sql()
     o["lexical_diversity"] = textops.lexical_diversity_sql()
+    o["script_census"] = textops.script_census_sql()
     o["source_quality_filter"] = f"""
 WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
 rates AS (SELECT source,

@@ -881,3 +881,93 @@ SELECT d.doc_id,
          // greatest(coalesce(a.n_tokens, 0), 1) AS hapax_ppm
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# Unicode script census + homoglyph-mixing detection. Mixed-script
+# WORDS (Latin letters interleaved with Cyrillic confusables — "pаypal"
+# with U+0430) are a classic web-spam/phishing signal that survives
+# every length/repetition rule; the per-script letter counts also give
+# the script router a langid pass can trust (declared lang vs dominant
+# script). Ranges are the major Unicode blocks, written as \x{..}
+# classes (Java-regex/RE2 common subset, same family as mojibake_stats).
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z\\x{C0}-\\x{FF}\\x{100}-\\x{17F}]",
+    "cyrillic": "[\\x{400}-\\x{4FF}]",
+    "greek": "[\\x{370}-\\x{3FF}]",
+    "arabic": "[\\x{600}-\\x{6FF}]",
+    "cjk": "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
+}
+SCRIPT_ORDER = list(SCRIPT_RANGES)  # first-wins tiebreak, like LANG_ORDER
+_MIX_LATIN = "[A-Za-z]"
+_MIX_CYR = "[\\x{400}-\\x{4FF}]"
+
+
+def script_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document script census: letter counts for the five major
+    scripts, the dominant script ('none' when no letters; ties break
+    first-in-SCRIPT_ORDER), and the count of MIXED-SCRIPT words (a
+    whitespace token containing both a Latin and a Cyrillic letter —
+    the homoglyph-spam shape). MAP-ONLY: regexp_count per range plus
+    one HOF filter whose per-word rlike patterns are literals (bound
+    once; the interpreted-HOF re-evaluation trap does not apply).
+
+    Columns: doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+    dominant_script, n_mixed_words, mixed_script."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*counts.values())
+    dom = F.when(best == 0, F.lit("none"))
+    for name in SCRIPT_ORDER:
+        dom = dom.when(counts[name] == best, F.lit(name))
+    mixed = F.size(
+        F.filter(
+            token_array(t),
+            lambda w: w.rlike(_MIX_LATIN) & w.rlike(_MIX_CYR),
+        )
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name in SCRIPT_ORDER],
+        dom.alias("dominant_script"),
+        mixed.alias("n_mixed_words"),
+        (mixed > 0).alias("mixed_script"),
+    )
+
+
+def script_census_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`script_census` (same ranges, same
+    first-wins CASE tiebreak, same token split)."""
+    t = f"coalesce({text_col}, '')"
+    c = {
+        name: f"len(regexp_extract_all({t}, '{pat}'))::BIGINT"
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    sel = ",\n  ".join(f"{e} AS n_{name}" for name, e in c.items())
+    best = "greatest(" + ", ".join(f"n_{name}" for name in SCRIPT_ORDER) + ")"
+    case = (
+        "CASE WHEN " + best + " = 0 THEN 'none' "
+        + " ".join(
+            f"WHEN n_{name} = {best} THEN '{name}'" for name in SCRIPT_ORDER
+        )
+        + " END"
+    )
+    toks = (
+        f"list_filter(regexp_split_to_array({t}, '[ \\t\\n\\r]+'), "
+        f"x -> x <> '')"
+    )
+    mixed = (
+        f"len(list_filter({toks}, w -> regexp_matches(w, '{_MIX_LATIN}') "
+        f"AND regexp_matches(w, '{_MIX_CYR}')))::BIGINT"
+    )
+    return f"""
+WITH c AS (SELECT doc_id, {mixed} AS n_mixed_words,
+  {sel}
+  FROM {table})
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+       {case} AS dominant_script,
+       n_mixed_words, (n_mixed_words > 0) AS mixed_script
+FROM c
+"""

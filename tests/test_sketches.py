@@ -292,3 +292,46 @@ def test_lexical_diversity_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_script_census_homoglyph_and_dominance(spark, tmp_path):
+    """Cyrillic-confusable words are caught, per-script dominance is
+    right for clean pages of each script, no-letter pages say 'none',
+    and the DuckDB mirror matches exactly on these rows."""
+    import duckdb
+
+    from metadata_quality_stack_spark.operators import textops
+
+    paypal_spoof = "p" + chr(0x430) + "yp" + chr(0x430) + "l"  # Cyr 'a' x2
+    rows = [
+        (0, f"verify your {paypal_spoof} account now"),
+        (1, "an ordinary english sentence with words"),
+        (2, "Привет мир это русский текст"),
+        (3, "你好世界 こんにちは 안녕하세요"),
+        (4, "مرحبا بالعالم هذا نص عربي"),
+        (5, "12345 !!! ... ???"),
+        (6, ""),
+        (7, None),
+        (8, "mixed Привет and english текст words"),  # mixed page, pure words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.script_census(df).collect()}
+    assert out[0].n_mixed_words == 1 and out[0].mixed_script  # one spoof token
+    assert out[0].dominant_script == "latin"
+    assert out[1].dominant_script == "latin" and not out[1].mixed_script
+    assert out[2].dominant_script == "cyrillic"
+    assert out[3].dominant_script == "cjk"
+    assert out[4].dominant_script == "arabic"
+    for i in (5, 6, 7):
+        assert out[i].dominant_script == "none", i
+    # page-level mixing without word-level mixing is NOT flagged
+    assert out[8].n_mixed_words == 0 and not out[8].mixed_script
+    pq = str(tmp_path / "scripts.parquet")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    got = sorted(tuple(r) for r in textops.script_census(df).collect())
+    want = sorted(tuple(r) for r in con.sql(textops.script_census_sql()).fetchall())
+    assert got == want
