@@ -564,6 +564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curated_corpus"] = curated_corpus
     q["curation_funnel"] = curation_funnel
 
+    # every map-only heuristic family fused onto ONE scan (zero Exchange)
+    def filter_bank_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.plans.curate import (
+            heuristic_filter_bank,
+        )
+
+        return heuristic_filter_bank(_t(s, d, "documents"))
+
+    q["heuristic_filter_bank"] = filter_bank_q
+
     # -- text analysis (token counting, langid, fingerprint, scrub)
     q["token_stats"] = lambda s, d: textops.token_stats(_t(s, d, "documents"))
     q["langid_heuristic"] = lambda s, d: textops.langid_heuristic(_t(s, d, "documents"))
@@ -1097,6 +1107,11 @@ capped AS (
         f"{curate_cte} SELECT doc_id, source, lang, fingerprint, "
         "total_score, rating FROM capped"
     )
+    from metadata_quality_stack_spark.plans.curate import (
+        heuristic_filter_bank_sql,
+    )
+
+    o["heuristic_filter_bank"] = heuristic_filter_bank_sql()
     o["curation_funnel"] = f"""{curate_cte}
 SELECT 'input' AS stage, count(*) AS n FROM documents
 UNION ALL SELECT 'quality_kept', count(*) FROM kept

@@ -144,7 +144,9 @@ def _top_run_chars(s: Column) -> Column:
     return F.aggregate(s, init, step, lambda a: a["best"] * a["bestlen"])
 
 
-def gopher_repetition(docs: DataFrame) -> DataFrame:
+def gopher_repetition(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The full 12-signal repetition readout, one row per document, all
     integer micros. Columns: doc_id, n_lines, dup_line_frac_micros,
     dup_line_char_frac_micros, dup_para_frac_micros,
@@ -153,11 +155,14 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
 
     Four chained narrow projections (tokens -> sorted gram arrays ->
     run/char stats -> fractions); each stage's arrays are materialized
-    so no lambda ever re-evaluates an upstream subtree."""
+    so no lambda ever re-evaluates an upstream subtree. ``keep_cols``
+    are threaded through every stage unchanged (single-scan fusion in
+    plans.curate.heuristic_filter_bank)."""
     text = F.col("text")
     ws = F.transform(token_array(text), lambda x: F.lower(x))
     st1 = docs.select(
         "doc_id",
+        *keep_cols,
         ws.alias("ws"),
         F.array_sort(_segments(text, "\n")).alias("sl"),
         F.array_sort(_segments(text, "\n\n")).alias("sp"),
@@ -166,12 +171,13 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     wsc = F.col("ws")
     st2 = st1.select(
         "doc_id",
+        *keep_cols,
         "sl",
         "sp",
         *[_sorted_grams(wsc, n).alias(f"s{n}") for n in TOP_NS + DUP_NS],
     )
 
-    st3_cols = [F.col("doc_id")]
+    st3_cols = [F.col("doc_id"), *[F.col(c) for c in keep_cols]]
     for nm in ("sl", "sp"):
         c = F.col(nm)
         st3_cols += [
@@ -197,6 +203,7 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
 
     out = [
         F.col("doc_id"),
+        *[F.col(c) for c in keep_cols],
         F.col("sl_n").alias("n_lines"),
         _frac_micros(dup_cnt(F.col("sl_rep")), F.col("sl_n")).alias(
             "dup_line_frac_micros"
@@ -430,7 +437,9 @@ GOPHER_THRESHOLDS_MICROS = {
 }
 
 
-def gopher_repetition_filter(docs: DataFrame) -> DataFrame:
+def gopher_repetition_filter(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The repetition suite made ACTIONABLE: apply the paper's removal
     thresholds to all 13 signals and emit the keep mask + failure
     accounting — the repetition-rule stage of a Gopher-style pipeline
@@ -439,7 +448,7 @@ def gopher_repetition_filter(docs: DataFrame) -> DataFrame:
     signal names travel as a comma-joined string in threshold order.
 
     Columns: doc_id, n_failed, keep, failed_signals."""
-    g = gopher_repetition(docs)
+    g = gopher_repetition(docs, keep_cols=keep_cols)
     items = list(GOPHER_THRESHOLDS_MICROS.items())
     n_failed = None
     for c, t in items:
@@ -454,6 +463,7 @@ def gopher_repetition_filter(docs: DataFrame) -> DataFrame:
     )
     return g.select(
         "doc_id",
+        *keep_cols,
         n_failed.alias("n_failed"),
         (n_failed == 0).alias("keep"),
         reasons.alias("failed_signals"),

@@ -502,7 +502,11 @@ C4_LINE_BLOCK = "javascript"  # C4 drops any line mentioning it
 C4_PAGE_BLOCK = ["{", "lorem ipsum"]  # page-level drops (code / filler)
 
 
-def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """C4's line-level filter: a line survives iff it ends in terminal
     punctuation, has >= 5 whitespace words, and does not mention
     'javascript'; the page keep flag then requires >= 3 surviving lines
@@ -539,6 +543,7 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
         page_ok = page_ok & ~F.contains(low, F.lit(b))
     return docs.select(
         "doc_id",
+        *keep_cols,
         F.size(lines).cast("long").alias("n_lines_raw"),
         F.size(kept).cast("long").alias("n_lines_kept"),
         page_ok.alias("keep_page"),
@@ -579,6 +584,7 @@ def lang_stopword_density(
     docs: DataFrame,
     min_distinct: int = 2,
     min_density_ppm: int = 20_000,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Language-AWARE stopword gate: score each document against the
     stopword set of its OWN declared language — the Gopher stop-word
@@ -608,6 +614,7 @@ def lang_stopword_density(
     )
     staged = docs.select(
         "doc_id",
+        *keep_cols,
         "lang",
         lows.alias("_lows"),
         F.element_at(sw_map, F.col("lang")).alias("_sw"),
@@ -618,6 +625,7 @@ def lang_stopword_density(
     n_words = F.size(F.col("_lows")).cast("long")
     staged2 = staged.select(
         "doc_id",
+        *keep_cols,
         "lang",
         n_words.alias("n_words"),
         F.when(
@@ -747,7 +755,11 @@ MOJI_UNION = (
 MOJI_PPM_THRESHOLD = 2_000  # >=0.2% artifact sites => damaged page
 
 
-def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def mojibake_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document encoding-damage census: counts of the four artifact
     families above, a non-overlapping union count, artifact sites per
     million chars (integer div — order-free), and the damage flag
@@ -762,6 +774,7 @@ def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     cnt = lambda pat: F.regexp_count(t, F.lit(pat)).cast("long")  # noqa: E731
     counted = docs.select(
         "doc_id",
+        *keep_cols,
         n_chars.alias("n_chars"),
         cnt(MOJI_REPLACEMENT).alias("n_replacement"),
         cnt(MOJI_C1).alias("n_c1"),
@@ -801,7 +814,11 @@ FROM {table}
 """
 
 
-def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lexical_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Type/token lexical-diversity census — the vocabulary-collapse
     spam signal the repetition suite approaches from the other side:
     keyword-stuffed or template pages reuse a tiny vocabulary (low
@@ -821,9 +838,10 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lambda x: F.lower(x),
     )
     staged = docs.select(
-        "doc_id", F.array_sort(toks).alias("srt")
+        "doc_id", *keep_cols, F.array_sort(toks).alias("srt")
     ).select(
         "doc_id",
+        *keep_cols,
         F.size("srt").cast("long").alias("n"),
         F.concat(
             F.array(F.lit("")), F.col("srt"), F.array(F.lit(""))
@@ -835,11 +853,13 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     nxt = F.slice(F.col("ext"), 3, F.greatest(n, F.lit(0)))
     flagged = staged.select(
         "doc_id",
+        *keep_cols,
         "n",
         F.zip_with(cur, prv, lambda a, b: a != b).alias("d_prev"),
         F.zip_with(cur, nxt, lambda a, b: a != b).alias("d_next"),
     ).select(
         "doc_id",
+        *keep_cols,
         "n",
         F.size(F.filter("d_prev", lambda x: x)).cast("long").alias("n_types"),
         F.size(
@@ -853,6 +873,7 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return flagged.select(
         F.col("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n.alias("n_tokens"),
         "n_types",
         F.expr("(n_types * 1000000) div greatest(n, 1)").alias("ttr_ppm"),
@@ -902,7 +923,11 @@ _MIX_LATIN = "[A-Za-z]"
 _MIX_CYR = "[\\x{400}-\\x{4FF}]"
 
 
-def script_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def script_census(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document script census: letter counts for the five major
     scripts, the dominant script ('none' when no letters; ties break
     first-in-SCRIPT_ORDER), and the count of MIXED-SCRIPT words (a
@@ -930,6 +955,7 @@ def script_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("long")
     return docs.select(
         "doc_id",
+        *keep_cols,
         *[counts[name].alias(f"n_{name}") for name in SCRIPT_ORDER],
         dom.alias("dominant_script"),
         mixed.alias("n_mixed_words"),

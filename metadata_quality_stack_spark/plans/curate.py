@@ -221,3 +221,121 @@ def curation_accounting(
         ]
     )
     return counts.select(F.explode(rows).alias("r")).select("r.stage", "r.n")
+
+
+# heuristic filter bank: thresholds for the lexical-diversity gate
+# (vocabulary collapse only means spam on pages long enough to judge)
+LEX_MIN_TOKENS = 50
+LEX_MIN_TTR_PPM = 100_000
+
+
+def heuristic_filter_bank(docs: DataFrame) -> DataFrame:
+    """Every MAP-ONLY heuristic family fused onto ONE scan — the
+    FineWeb-style filter bank a curation run applies before any model
+    scorer or dedup exchange: Gopher repetition thresholds, C4 line/page
+    gate, encoding damage, lexical diversity (vocabulary collapse),
+    Latin/Cyrillic homoglyph words, and the language-aware stopword
+    gate. Each family contributes one boolean; ``keep`` is their AND.
+
+    Plan shape (asserted in tests/test_plan_shapes.py): the six families
+    chain as staged projections threaded with ``keep_cols`` — zero
+    Exchange, zero Join, one pass over text. At 100 TB this is the
+    difference between one scan and six scans + five doc_id joins.
+
+    Columns: doc_id, gopher_keep, c4_keep, moji_keep, lex_keep,
+    script_keep, stopword_keep, keep."""
+    from metadata_quality_stack_spark.operators.gopher import (
+        gopher_repetition_filter,
+    )
+    from metadata_quality_stack_spark.operators.textops import (
+        c4_line_filter,
+        lang_stopword_density,
+        lexical_diversity,
+        mojibake_stats,
+        script_census,
+    )
+
+    flags: list[str] = []
+
+    def narrowed(df: DataFrame, flag: str, col: F.Column) -> DataFrame:
+        out = df.select("doc_id", "text", "lang", *flags, col.alias(flag))
+        flags.append(flag)
+        return out
+
+    base = docs.select("doc_id", "text", "lang")
+    g = narrowed(
+        gopher_repetition_filter(base, keep_cols=("text", "lang")),
+        "gopher_keep",
+        F.col("keep"),
+    )
+    c = narrowed(
+        c4_line_filter(g, keep_cols=("text", "lang", *flags)),
+        "c4_keep",
+        F.col("keep_page"),
+    )
+    m = narrowed(
+        mojibake_stats(c, keep_cols=("text", "lang", *flags)),
+        "moji_keep",
+        ~F.col("mojibake"),
+    )
+    l = narrowed(
+        lexical_diversity(m, keep_cols=("text", "lang", *flags)),
+        "lex_keep",
+        ~(
+            (F.col("n_tokens") >= LEX_MIN_TOKENS)
+            & (F.col("ttr_ppm") < LEX_MIN_TTR_PPM)
+        ),
+    )
+    s = narrowed(
+        script_census(l, keep_cols=("text", "lang", *flags)),
+        "script_keep",
+        ~F.col("mixed_script"),
+    )
+    w = narrowed(
+        lang_stopword_density(s, keep_cols=("text", *flags)),
+        "stopword_keep",
+        F.coalesce(F.col("keep"), F.lit(False)),
+    )
+    keep = None
+    for f in flags:
+        keep = F.col(f) if keep is None else keep & F.col(f)
+    return w.select("doc_id", *flags, keep.alias("keep"))
+
+
+def heuristic_filter_bank_sql(table: str = "documents") -> str:
+    """DuckDB mirror: the oracle states the semantics as six independent
+    family queries joined on doc_id (it does not need the one-scan
+    plan, only the same values)."""
+    from metadata_quality_stack_spark.operators.gopher import (
+        gopher_repetition_filter_sql,
+    )
+    from metadata_quality_stack_spark.operators.textops import (
+        c4_line_filter_sql,
+        lang_stopword_density_sql,
+        lexical_diversity_sql,
+        mojibake_stats_sql,
+        script_census_sql,
+    )
+
+    return f"""
+WITH g AS ({gopher_repetition_filter_sql(table)}),
+c AS ({c4_line_filter_sql(table)}),
+m AS ({mojibake_stats_sql(table)}),
+l AS ({lexical_diversity_sql(table)}),
+s AS ({script_census_sql(table)}),
+w AS ({lang_stopword_density_sql(table)})
+SELECT g.doc_id,
+  g.keep AS gopher_keep,
+  c.keep_page AS c4_keep,
+  NOT m.mojibake AS moji_keep,
+  NOT (l.n_tokens >= {LEX_MIN_TOKENS} AND l.ttr_ppm < {LEX_MIN_TTR_PPM})
+    AS lex_keep,
+  NOT s.mixed_script AS script_keep,
+  coalesce(w.keep, FALSE) AS stopword_keep,
+  (g.keep AND c.keep_page AND NOT m.mojibake
+   AND NOT (l.n_tokens >= {LEX_MIN_TOKENS} AND l.ttr_ppm < {LEX_MIN_TTR_PPM})
+   AND NOT s.mixed_script AND coalesce(w.keep, FALSE)) AS keep
+FROM g
+JOIN c USING (doc_id) JOIN m USING (doc_id) JOIN l USING (doc_id)
+JOIN s USING (doc_id) JOIN w USING (doc_id)
+"""

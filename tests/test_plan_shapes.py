@@ -270,3 +270,19 @@ def test_span_dedup_text_never_shuffles(spark):
             f"Exchange ({i}) shuffles text/tokens:\n{blk}"
         )
     assert "BroadcastHashJoin LeftOuter" in plan
+
+
+def test_heuristic_filter_bank_single_scan(spark):
+    """The six-family heuristic bank is ONE map-only pass: no Exchange,
+    no Join, and exactly one parquet scan in the executed plan."""
+    from metadata_quality_stack_spark.plans.curate import heuristic_filter_bank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        heuristic_filter_bank(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.count("Scan parquet") == 1
