@@ -286,3 +286,31 @@ def test_heuristic_filter_bank_single_scan(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_heuristic_filter_bank_not_vacuous(spark):
+    """A realistic clean prose page passes ALL six families (the AND is
+    satisfiable — the synthetic gate corpus fails c4/stopwords by
+    construction), and each spam shape trips exactly its own family."""
+    from metadata_quality_stack_spark.plans.curate import heuristic_filter_bank
+
+    prose = (
+        "The committee met on Tuesday to review the annual budget report.\n"
+        "Most of the members agreed that spending should remain stable.\n"
+        "A final decision will be published after the next meeting.\n"
+        "Until then, the draft figures stay with the finance office."
+    )
+    spam_ttr = ("buy cheap pills " * 40).strip()  # vocabulary collapse
+    homoglyph = prose + "\nVisit p" + chr(0x430) + "ypal.com today."
+    rows = [
+        (0, prose, "en"),
+        (1, spam_ttr, "en"),
+        (2, homoglyph, "en"),
+        (3, prose + " " + chr(0xFFFD), "en"),  # encoding damage
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in heuristic_filter_bank(docs).collect()}
+    assert out[0].keep, out[0]
+    assert not out[1].keep and (not out[1].lex_keep or not out[1].gopher_keep)
+    assert not out[2].keep and not out[2].script_keep and out[2].c4_keep
+    assert not out[3].keep and not out[3].moji_keep
