@@ -77,11 +77,21 @@ class SnapshotLog:
             with open(self.path) as f:
                 self.snapshots = json.load(f)
 
-    def append(self, buckets: list[int]) -> int:
+    def append(
+        self, buckets: list[int], locations: dict[str, str] | None = None
+    ) -> int:
+        """``locations`` (merge snapshots only) maps bucket -> relative
+        data root for buckets NOT served from the main table dir; one
+        atomic rename commits buckets and locations together."""
         sid = len(self.snapshots)
-        self.snapshots.append(
-            {"snapshot_id": sid, "ts": time.time(), "buckets": sorted(buckets)}
-        )
+        entry: dict = {
+            "snapshot_id": sid,
+            "ts": time.time(),
+            "buckets": sorted(buckets),
+        }
+        if locations:
+            entry["locations"] = dict(sorted(locations.items()))
+        self.snapshots.append(entry)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.snapshots, f, indent=1)
@@ -234,10 +244,184 @@ def read_results(
     tests/test_resume.py)."""
     # basePath so nested hive layouts (bucket=*/day=*) unify into one read
     # with bucket and any inner partition columns exposed for pruning
-    df = spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "bucket=*")
-    )
+    log = SnapshotLog(out_dir)
+    loc: dict[int, str] = {}
     if snapshot is not None:
-        buckets = SnapshotLog(out_dir).buckets_at(snapshot)
-        df = df.filter(F.col("bucket").isin(buckets))
+        log.buckets_at(snapshot)  # range check
+        loc = _locations_at(log, snapshot)
+    elif log.snapshots and any("locations" in s for s in log.snapshots):
+        # merged table: the latest mapping decides where each bucket lives
+        loc = _locations_at(log, log.snapshots[-1]["snapshot_id"])
+
+    def base_read() -> DataFrame:
+        return spark.read.option("basePath", out_dir).parquet(
+            os.path.join(out_dir, "bucket=*")
+        )
+
+    if not loc or all(rel == "" for rel in loc.values()):
+        df = base_read()
+        if snapshot is not None:
+            df = df.filter(F.col("bucket").isin(sorted(loc)))
+        return df
+    # split the read by data root; each root keeps hive partition
+    # pruning on its own bucket subset
+    main_buckets = sorted(b for b, rel in loc.items() if rel == "")
+    parts: list[DataFrame] = []
+    if main_buckets:
+        parts.append(base_read().filter(F.col("bucket").isin(main_buckets)))
+    by_rel: dict[str, list[int]] = {}
+    for b, rel in loc.items():
+        if rel:
+            by_rel.setdefault(rel, []).append(b)
+    for rel, buckets in sorted(by_rel.items()):
+        root = os.path.join(out_dir, rel)
+        parts.append(
+            spark.read.option("basePath", root)
+            .parquet(os.path.join(root, "bucket=*"))
+            .filter(F.col("bucket").isin(sorted(buckets)))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     return df
+
+
+# --------------------------------------------------------------- merge
+# Generation-versioned bucket merge: apply a crawl delta to the results
+# store by REWRITING ONLY THE DIRTY BUCKETS (buckets whose url set or
+# content changed), Iceberg copy-on-write style. Clean buckets' files
+# are never touched; rewritten buckets go to a NEW generation directory
+# (`_rewrites/g<snapshot>/bucket=<b>/`), and the snapshot log entry maps
+# each bucket to its current location — so "the table as of snapshot N"
+# stays exact ACROSS merges (the base `bucket=<b>/` dirs remain
+# immutable, unlike an in-place overwrite which would void time travel).
+# Crash safety: data files are written BEFORE the log append (the only
+# visible commit point, an atomic rename); a crash mid-merge leaves
+# orphan files the log never references, and the rerun clears and
+# rewrites that generation directory.
+
+_REWRITE_ROOT = "_rewrites"
+
+
+def _locations_at(log: SnapshotLog, snapshot_id: int) -> dict[int, str]:
+    """bucket -> relative data root ('' = the main table dir) as of the
+    given snapshot. Later snapshots inherit earlier rewrites unless they
+    rewrote the bucket again themselves."""
+    loc: dict[int, str] = {}
+    for snap in log.snapshots[: snapshot_id + 1]:
+        for b in snap["buckets"]:
+            loc.setdefault(int(b), "")
+        for b, rel in snap.get("locations", {}).items():
+            loc[int(b)] = rel
+    return loc
+
+
+def merge_rescore(
+    spark: SparkSession,
+    out_dir: str,
+    new_pages: DataFrame,
+    transform,
+    key_col: str = "url",
+    content_col: str = "text",
+    hash_col: str = "content_h",
+    n_buckets: int = 8,
+    fail_before_commit: bool = False,
+) -> dict:
+    """Apply a new crawl to an existing results store: urls whose
+    60-bit content hash is unchanged keep their stored rows; buckets
+    containing any added / changed / removed url are rebuilt (carried
+    rows + ``transform`` over the churn minority) into a new generation
+    dir; every other bucket's files are untouched. The store mirrors
+    the LATEST crawl (removed urls drop), while pinned reads at earlier
+    snapshots still see exactly the pre-merge table.
+
+    The store's rows must carry ``hash_col`` (emit it from the
+    ``run_incremental`` transform); ``transform`` must emit it too.
+
+    Scale shape: churn detection joins two (key, hash, bucket) slims —
+    text never moves for clean urls; only dirty buckets are re-read and
+    rewritten, so merge cost scales with churn locality, not store
+    size. Returns {dirty_buckets, rows_written, snapshot_id}."""
+    from metadata_quality_stack_spark.operators.urlops import _h60_url
+
+    log = SnapshotLog(out_dir)
+    if not log.snapshots:
+        raise ValueError("merge_rescore needs an existing completed store")
+    latest = log.snapshots[-1]["snapshot_id"]
+    cur = read_results(spark, out_dir, snapshot=latest)
+
+    bucket_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    h60 = _h60_url(F.col(content_col))
+    new_slim = (
+        new_pages.select(
+            F.col(key_col).alias("k"),
+            h60.alias("h_new"),
+            bucket_of.alias("b"),
+        )
+        .groupBy("k", "b")
+        .agg(F.min("h_new").alias("h_new"))
+    )
+    cur_slim = cur.select(
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("h_old"),
+        F.col("bucket").cast("int").alias("b"),
+    ).dropDuplicates(["k"])
+    j = cur_slim.join(new_slim, ["k", "b"], "full_outer")
+    # any added (h_old null), removed (h_new null), or changed key makes
+    # its bucket dirty; unchanged keys are clean
+    dirty = sorted(
+        int(r["b"])
+        for r in j.filter(
+            F.col("h_old").isNull()
+            | F.col("h_new").isNull()
+            | (F.col("h_old") != F.col("h_new"))
+        )
+        .select("b")
+        .distinct()
+        .collect()
+    )
+    if not dirty:
+        return {
+            "dirty_buckets": [],
+            "rows_written": 0,
+            "snapshot_id": latest,
+        }
+
+    sid = len(log.snapshots)
+    rel = os.path.join(_REWRITE_ROOT, f"g{sid}")
+    gen_dir = os.path.join(out_dir, rel)
+    if os.path.exists(gen_dir):  # crashed earlier attempt: clear and redo
+        import shutil
+
+        shutil.rmtree(gen_dir)
+
+    unchanged_keys = j.filter(
+        F.col("h_old").isNotNull() & (F.col("h_old") == F.col("h_new"))
+    ).select(F.col("k").alias(key_col), "b")
+    carried = cur.withColumn("b", F.col("bucket").cast("int")).join(
+        unchanged_keys.filter(F.col("b").isin(dirty)), [key_col, "b"]
+    ).drop("b", "bucket")
+    churn_keys = j.filter(
+        F.col("h_new").isNotNull()
+        & (F.col("h_old").isNull() | (F.col("h_old") != F.col("h_new")))
+    ).select(F.col("k").alias(key_col))
+    fresh_src = new_pages.join(churn_keys, key_col).dropDuplicates([key_col])
+    fresh = transform(fresh_src)
+    rebuilt = carried.unionByName(
+        fresh.select(*carried.columns)
+    ).withColumn("bucket", bucket_of)
+    rows_written = rebuilt.count()
+    rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(gen_dir)
+
+    if fail_before_commit:  # crash injection for tests: files exist,
+        raise RuntimeError("injected crash before snapshot commit")  # log silent
+
+    prev_loc = _locations_at(log, latest)
+    locations = {str(b): r for b, r in prev_loc.items() if r}
+    locations.update({str(b): rel for b in dirty})
+    sid = log.append(sorted(prev_loc), locations=locations)  # atomic commit
+    return {
+        "dirty_buckets": dirty,
+        "rows_written": int(rows_written),
+        "snapshot_id": sid,
+    }

@@ -252,3 +252,164 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError, match="snapshot 7 not in log"):
         read_results(spark, out, snapshot=7).count()
+
+
+# ---------------------------------------------------------------- merge
+def _score_transform(df):
+    """Toy scorer carrying the 60-bit content hash the merge keys on."""
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark.operators.urlops import _h60_url
+
+    return df.select(
+        "url",
+        _h60_url(F.col("text")).alias("content_h"),
+        F.length("text").cast("long").alias("total_score"),
+        (F.length("text") > 10).alias("keep"),
+    )
+
+
+def _mk_pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_merge_rescore_rewrites_only_dirty_buckets(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark.sources.sink import merge_rescore
+
+    out = str(tmp_path / "store")
+    pages = _mk_pages(
+        spark, [(f"u{i}", f"body of document number {i} stays") for i in range(40)]
+    )
+    run_incremental(
+        spark, pages, out, _score_transform, key_col="url", n_buckets=8
+    )
+    before = {
+        r.url: r.total_score
+        for r in read_results(spark, out).select("url", "total_score").collect()
+    }
+    # snapshot of base bucket files (must NEVER change afterwards)
+    base_files = {}
+    for d in os.listdir(out):
+        if d.startswith("bucket="):
+            p = os.path.join(out, d)
+            base_files[d] = sorted(
+                (f, os.path.getmtime(os.path.join(p, f)))
+                for f in os.listdir(p)
+            )
+
+    # new crawl: u1 changed, u40 added, u2 removed, everything else same
+    rows = [
+        (f"u{i}", f"body of document number {i} stays")
+        for i in range(40)
+        if i != 2 and i != 1
+    ]
+    rows += [("u1", "u1 has completely new content after the recrawl")]
+    rows += [("u40", "a brand new page that was not in the first crawl")]
+    res = merge_rescore(
+        spark, out, _mk_pages(spark, rows), _score_transform, key_col="url"
+    )
+    assert res["dirty_buckets"], res
+    # base files untouched (copy-on-write, not in-place)
+    for d, files in base_files.items():
+        p = os.path.join(out, d)
+        assert sorted(
+            (f, os.path.getmtime(os.path.join(p, f))) for f in os.listdir(p)
+        ) == files, d
+
+    after = {
+        r.url: r.total_score
+        for r in read_results(spark, out).select("url", "total_score").collect()
+    }
+    assert "u2" not in after and "u40" in after
+    assert after["u1"] != before["u1"]
+    for u, s in before.items():
+        if u not in ("u1", "u2"):
+            assert after[u] == s, u
+    # time travel: snapshot 0 still reads exactly the pre-merge table
+    pinned = {
+        r.url: r.total_score
+        for r in read_results(spark, out, snapshot=0)
+        .select("url", "total_score")
+        .collect()
+    }
+    assert pinned == before
+    # idempotent re-merge of the same crawl: no dirty buckets, no snapshot
+    res2 = merge_rescore(
+        spark, out, _mk_pages(spark, rows), _score_transform, key_col="url"
+    )
+    assert res2["dirty_buckets"] == []
+    assert res2["snapshot_id"] == res["snapshot_id"]
+
+
+def test_merge_rescore_crash_before_commit_is_invisible(spark, tmp_path):
+    from metadata_quality_stack_spark.sources.sink import merge_rescore
+
+    out = str(tmp_path / "store")
+    pages = _mk_pages(
+        spark, [(f"u{i}", f"original text for page {i} here") for i in range(20)]
+    )
+    run_incremental(
+        spark, pages, out, _score_transform, key_col="url", n_buckets=4
+    )
+    before = sorted(
+        tuple(r) for r in read_results(spark, out).select("url", "total_score").collect()
+    )
+    rows = [(f"u{i}", f"original text for page {i} here") for i in range(19)]
+    rows += [("u19", "changed content for the crash test run")]
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_rescore(
+            spark,
+            out,
+            _mk_pages(spark, rows),
+            _score_transform,
+            key_col="url",
+            fail_before_commit=True,
+        )
+    # orphan generation files exist but the log never references them
+    assert sorted(
+        tuple(r) for r in read_results(spark, out).select("url", "total_score").collect()
+    ) == before
+    # rerun completes cleanly over the orphaned generation dir
+    res = merge_rescore(
+        spark, out, _mk_pages(spark, rows), _score_transform, key_col="url"
+    )
+    assert res["dirty_buckets"]
+    after = {
+        r.url: r.total_score
+        for r in read_results(spark, out).select("url", "total_score").collect()
+    }
+    assert after["u19"] == len("changed content for the crash test run")
+
+
+def test_merge_rescore_chained_merges_time_travel(spark, tmp_path):
+    """Two merges in sequence: every snapshot stays exactly readable."""
+    from metadata_quality_stack_spark.sources.sink import merge_rescore
+
+    out = str(tmp_path / "store")
+    v0 = [(f"u{i}", f"first crawl body {i} with words") for i in range(12)]
+    run_incremental(
+        spark, _mk_pages(spark, v0), out, _score_transform, key_col="url",
+        n_buckets=4,
+    )
+    v1 = [(u, t) for u, t in v0 if u != "u3"] + [("u3", "second crawl u3 new")]
+    merge_rescore(spark, out, _mk_pages(spark, v1), _score_transform, key_col="url")
+    v2 = [(u, t) for u, t in v1 if u != "u3"] + [("u3", "third crawl u3 newer!")]
+    r2 = merge_rescore(spark, out, _mk_pages(spark, v2), _score_transform, key_col="url")
+
+    def scores(snapshot=None):
+        return {
+            r.url: r.total_score
+            for r in read_results(spark, out, snapshot=snapshot)
+            .select("url", "total_score")
+            .collect()
+        }
+
+    assert scores(0)["u3"] == len("first crawl body 3 with words")
+    assert scores(1)["u3"] == len("second crawl u3 new")
+    assert scores(2)["u3"] == len("third crawl u3 newer!")
+    assert scores()["u3"] == len("third crawl u3 newer!")
+    assert r2["snapshot_id"] == 2
