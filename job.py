@@ -44,6 +44,12 @@ def main() -> None:
     ap.add_argument("--partition-by-day", action="store_true",
                     help="hive-partition each bucket's output by warc day "
                          "(partition pruning for day-scoped readers)")
+    ap.add_argument("--merge", action="store_true",
+                    help="treat --input as a NEW crawl of an EXISTING "
+                         "--output store: carry unchanged urls' stored "
+                         "rows, score only added/changed pages, rewrite "
+                         "only the dirty buckets (copy-on-write; pinned "
+                         "time-travel reads stay exact)")
     args = ap.parse_args()
 
     from metadata_quality_stack_spark import get_spark
@@ -51,9 +57,16 @@ def main() -> None:
         partition_metrics,
         quality_pipeline,
     )
-    from metadata_quality_stack_spark.sources.sink import run_incremental
+    from metadata_quality_stack_spark.sources.sink import (
+        merge_rescore,
+        read_results,
+        run_incremental,
+    )
 
-    from metadata_quality_stack_spark.operators.urlops import normalize_url
+    from metadata_quality_stack_spark.operators.urlops import (
+        _h60_url,
+        normalize_url,
+    )
 
     spark = get_spark(app_name="quality-filter-job")
     pages = spark.read.parquet(args.input)
@@ -66,6 +79,9 @@ def main() -> None:
     # and downstream url-keyed dedup has to re-shuffle. The codegen
     # regexp chain is ~8 scans of a ~100-byte string — free next to text.
     pages = pages.withColumn("url_norm", normalize_url(F.col("url")))
+    # 60-bit content hash BEFORE any scrubbing: the recrawl merge compares
+    # raw page content, so the hash must be of what the crawler saw
+    pages = pages.withColumn("content_h", _h60_url(F.col("text")))
     if args.blocklist:
         from metadata_quality_stack_spark.operators.urlops import (
             blocklist_filter,
@@ -87,7 +103,7 @@ def main() -> None:
     # standalone (domain, salt) repartition left the write layout
     # unbounded at O(tasks x buckets) files.
     def transform(bucket_df):
-        id_cols = ("url", "url_norm") + (
+        id_cols = ("url", "url_norm", "content_h") + (
             ("warc_ts",) if "warc_ts" in bucket_df.columns else ()
         )
         out = quality_pipeline(
@@ -101,15 +117,21 @@ def main() -> None:
             out = out.withColumn("day", F.to_date("warc_ts"))
         return out
 
-    stats = run_incremental(
-        spark, pages, args.output, transform, key_col="url_norm",
-        n_buckets=args.buckets, n_salts=args.salts,
-        partition_by="day" if args.partition_by_day else None,
-    )
+    if args.merge:
+        stats = merge_rescore(
+            spark, args.output, pages, transform, key_col="url_norm",
+            n_buckets=args.buckets,
+        )
+    else:
+        stats = run_incremental(
+            spark, pages, args.output, transform, key_col="url_norm",
+            n_buckets=args.buckets, n_salts=args.salts,
+            partition_by="day" if args.partition_by_day else None,
+        )
 
-    results = spark.read.option("basePath", args.output).parquet(
-        os.path.join(args.output, "bucket=*")
-    )
+    # location-aware read: after a merge, rewritten buckets live in
+    # generation dirs the snapshot log maps
+    results = read_results(spark, args.output)
     metrics_dir = os.path.join(args.output, "_metrics")
     for name, df in partition_metrics(results).items():
         df.coalesce(1).write.mode("overwrite").parquet(

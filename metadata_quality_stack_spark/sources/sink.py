@@ -404,8 +404,17 @@ def merge_rescore(
     churn_keys = j.filter(
         F.col("h_new").isNotNull()
         & (F.col("h_old").isNull() | (F.col("h_old") != F.col("h_new")))
-    ).select(F.col("k").alias(key_col))
-    fresh_src = new_pages.join(churn_keys, key_col).dropDuplicates([key_col])
+    ).select(F.col("k").alias(key_col), "h_new")
+    # join on key AND the min content hash: multi-capture urls resolve to
+    # the min-hash capture, and remaining duplicates share url + content
+    # (identical text), so the post-join dedup is value-deterministic
+    fresh_src = (
+        new_pages.withColumn("_h", h60)
+        .join(churn_keys, on=[key_col])
+        .filter(F.col("_h") == F.col("h_new"))
+        .drop("_h", "h_new")
+        .dropDuplicates([key_col])
+    )
     fresh = transform(fresh_src)
     rebuilt = carried.unionByName(
         fresh.select(*carried.columns)

@@ -70,3 +70,74 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
         F.pmod(F.xxhash64(F.col("url_norm")), F.lit(4)) != F.col("bucket")
     ).count()
     assert mismatched == 0
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_merge_recrawl(spark, tmp_path):
+    """Production recrawl loop: build the store with one spark-submit
+    run, merge a second crawl (one changed page) with --merge; only the
+    dirty bucket is rewritten, the updated row is visible, and the
+    pinned snapshot-0 read still returns the original row."""
+    sys.path.insert(0, REPO)
+    import pandas as pd
+
+    from metadata_quality_stack_spark.sources.pages import generate_pages
+    from tools.build_pyfiles import build
+
+    zip_path = build(str(tmp_path / "engine.zip"))
+    pdf = generate_pages(60, seed=9).drop(columns=["row_class"])
+    pages_v1 = str(tmp_path / "pages_v1")
+    pages_v2 = str(tmp_path / "pages_v2")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(pdf).repartition(2).write.parquet(pages_v1)
+    target_url = pdf.url.iloc[7]
+    pdf2 = pdf.copy()
+    new_text = "Recrawled body with different words and a sentence here."
+    pdf2.loc[pdf2.url == target_url, "text"] = new_text
+    pdf2.loc[pdf2.url == target_url, "html"] = None
+    spark.createDataFrame(pdf2).repartition(2).write.parquet(pages_v2)
+
+    def submit(extra):
+        return subprocess.run(
+            ["spark-submit", "--master", "local[4]", "--py-files", zip_path,
+             os.path.join(REPO, "job.py"), "--output", out_dir,
+             "--buckets", "4"] + extra,
+            capture_output=True, text=True, cwd=str(tmp_path), timeout=600,
+        )
+
+    p1 = submit(["--input", pages_v1])
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    import os as _os
+
+    base_files = {
+        d: sorted(_os.listdir(_os.path.join(out_dir, d)))
+        for d in _os.listdir(out_dir) if d.startswith("bucket=")
+    }
+    p2 = submit(["--input", pages_v2, "--merge"])
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    stats = json.loads(
+        [line for line in p2.stdout.splitlines() if line.startswith("{")][-1]
+    )
+    assert len(stats["dirty_buckets"]) >= 1
+
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark.sources.sink import read_results
+
+    # base bucket dirs untouched on disk
+    for d, files in base_files.items():
+        assert sorted(_os.listdir(_os.path.join(out_dir, d))) == files, d
+    latest = read_results(spark, out_dir)
+    row = latest.filter(F.col("url") == target_url).collect()
+    assert len(row) == 1 and row[0]["scrubbed_text"].startswith("Recrawled body")
+    pinned = read_results(spark, out_dir, snapshot=0)
+    old = pinned.filter(F.col("url") == target_url).collect()
+    assert len(old) == 1 and not old[0]["scrubbed_text"].startswith(
+        "Recrawled body"
+    )
+    # every other url's row carried over exactly
+    a = {r["url"]: r["total_score"] for r in pinned.collect()}
+    b = {r["url"]: r["total_score"] for r in latest.collect()}
+    assert {u: s for u, s in a.items() if u != target_url} == {
+        u: s for u, s in b.items() if u != target_url
+    }
