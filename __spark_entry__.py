@@ -313,6 +313,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rescore_delta"] = rescore_delta_q
 
+    # full store lifecycle through the REAL parquet path: bucketed build,
+    # copy-on-write merge, pinned + latest reads — value-transparent, so
+    # the oracle is plain scoring of each crawl (no merge machinery)
+    def store_merge_cycle_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.operators.rules import apply_quality
+        from metadata_quality_stack_spark.operators.urlops import _h60_url
+        from metadata_quality_stack_spark.sources.sink import store_merge_cycle
+
+        pages = _t(s, d, "documents").select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            urlops.normalize_url(F.expr(SYN_URL_SQL)).alias("url_norm"),
+        )
+
+        def dedup_min_doc(df: DataFrame) -> DataFrame:
+            m = df.groupBy("url_norm").agg(F.min("doc_id").alias("doc_id"))
+            return df.join(m, ["url_norm", "doc_id"])
+
+        old = dedup_min_doc(pages.filter(F.col("doc_id") < 300))
+        new = dedup_min_doc(pages.filter(F.col("doc_id") >= 100))
+
+        def transform(df: DataFrame) -> DataFrame:
+            withh = df.withColumn("content_h", _h60_url(F.col("text")))
+            return apply_quality(withh, meta_cols=analytics.DOC_META)
+
+        return store_merge_cycle(s, old, new, transform)
+
+    q["store_merge_cycle"] = store_merge_cycle_q
+
     # Bloom pre-filter over canonical urls: bitmap built on the first
     # 300 docs' urls, the rest probed map-only; cross-range collisions
     # via the doc_id % 400 page key give true positives at sf0.01
@@ -1935,6 +1967,22 @@ sc AS ({_new_sc})
 SELECT url_norm, action, total_score, rating, keep FROM carried
 UNION ALL
 SELECT url_norm, 'scored' AS action, total_score, rating, keep FROM sc
+"""
+    _cycle_sc_old = sqlgen.native_scoring_sql(table="oldp", extra_cols=("url_norm",))
+    _cycle_sc_new = sqlgen.native_scoring_sql(table="newp2", extra_cols=("url_norm",))
+    o["store_merge_cycle"] = f"""
+WITH pages AS ({_dpages}),
+oldp AS (SELECT p.* FROM pages p
+         JOIN (SELECT url_norm, min(doc_id) AS doc_id FROM pages
+               WHERE doc_id < 300 GROUP BY 1) m USING (url_norm, doc_id)),
+newp2 AS (SELECT p.* FROM pages p
+          JOIN (SELECT url_norm, min(doc_id) AS doc_id FROM pages
+                WHERE doc_id >= 100 GROUP BY 1) m USING (url_norm, doc_id)),
+base_sc AS ({_cycle_sc_old}),
+new_sc AS ({_cycle_sc_new})
+SELECT 'base' AS snap, url_norm, total_score, rating, keep FROM base_sc
+UNION ALL
+SELECT 'merged' AS snap, url_norm, total_score, rating, keep FROM new_sc
 """
     o["bloom_url_probe"] = bloom.bloom_probe_sql(
         f"SELECT * FROM ({_snap}) WHERE doc_id < 300",

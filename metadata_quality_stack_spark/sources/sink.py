@@ -82,8 +82,10 @@ class SnapshotLog:
     ) -> int:
         """``locations`` (merge snapshots only) maps bucket -> relative
         data root for buckets NOT served from the main table dir; one
-        atomic rename commits buckets and locations together."""
-        sid = len(self.snapshots)
+        atomic rename commits buckets and locations together. Ids keep
+        increasing across expire_snapshots truncation, so id != list
+        index in general."""
+        sid = self.next_id()
         entry: dict = {
             "snapshot_id": sid,
             "ts": time.time(),
@@ -98,13 +100,18 @@ class SnapshotLog:
         os.replace(tmp, self.path)
         return sid
 
+    def next_id(self) -> int:
+        return self.snapshots[-1]["snapshot_id"] + 1 if self.snapshots else 0
+
+    def entry(self, snapshot_id: int) -> dict:
+        for snap in self.snapshots:
+            if snap["snapshot_id"] == snapshot_id:
+                return snap
+        have = [s["snapshot_id"] for s in self.snapshots]
+        raise ValueError(f"snapshot {snapshot_id} not in log (have {have})")
+
     def buckets_at(self, snapshot_id: int) -> list[int]:
-        if not 0 <= snapshot_id < len(self.snapshots):
-            raise ValueError(
-                f"snapshot {snapshot_id} not in log "
-                f"(have 0..{len(self.snapshots) - 1})"
-            )
-        return list(self.snapshots[snapshot_id]["buckets"])
+        return list(self.entry(snapshot_id)["buckets"])
 
 
 def run_incremental(
@@ -308,7 +315,9 @@ def _locations_at(log: SnapshotLog, snapshot_id: int) -> dict[int, str]:
     given snapshot. Later snapshots inherit earlier rewrites unless they
     rewrote the bucket again themselves."""
     loc: dict[int, str] = {}
-    for snap in log.snapshots[: snapshot_id + 1]:
+    for snap in log.snapshots:
+        if snap["snapshot_id"] > snapshot_id:
+            break
         for b in snap["buckets"]:
             loc.setdefault(int(b), "")
         for b, rel in snap.get("locations", {}).items():
@@ -387,7 +396,7 @@ def merge_rescore(
             "snapshot_id": latest,
         }
 
-    sid = len(log.snapshots)
+    sid = log.next_id()
     rel = os.path.join(_REWRITE_ROOT, f"g{sid}")
     gen_dir = os.path.join(out_dir, rel)
     if os.path.exists(gen_dir):  # crashed earlier attempt: clear and redo
@@ -433,4 +442,133 @@ def merge_rescore(
         "dirty_buckets": dirty,
         "rows_written": int(rows_written),
         "snapshot_id": sid,
+    }
+
+
+def store_merge_cycle(
+    spark: SparkSession,
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    transform,
+    key_col: str = "url_norm",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """One full store lifecycle, gate-checkable against pure SQL: BUILD
+    the results store from the first crawl (run_incremental through the
+    real bucketed parquet write), MERGE the second crawl (copy-on-write
+    generation dirs), then read BOTH the pinned snapshot 0 and the
+    latest state back through the location-aware reader. Because the
+    scorer is a pure function of the page, the logical answer needs no
+    merge machinery at all — snapshot 0 == score(first crawl) and
+    latest == score(second crawl) — which is exactly what the oracle
+    states; the gate therefore proves the store's write/merge/
+    time-travel path is value-transparent. Inputs must be one row per
+    key (pre-dedup captures upstream).
+
+    Columns: snap ('base' | 'merged'), key_col, total_score, rating,
+    keep."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="store_merge_gate_")
+    cols = [key_col, "total_score", "rating", "keep"]
+    try:
+        run_incremental(
+            spark, old_pages, out_dir, transform,
+            key_col=key_col, n_buckets=n_buckets,
+        )
+        merge_rescore(
+            spark, out_dir, new_pages, transform,
+            key_col=key_col, n_buckets=n_buckets,
+        )
+        base = read_results(spark, out_dir, snapshot=0).select(
+            F.lit("base").alias("snap"), *cols
+        )
+        merged = read_results(spark, out_dir).select(
+            F.lit("merged").alias("snap"), *cols
+        )
+        # eager pin so the result outlives the scratch directory
+        return base.unionByName(merged).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def compact_results(spark: SparkSession, out_dir: str) -> dict:
+    """Iceberg ``rewrite_data_files`` analog: materialize the CURRENT
+    bucket->location mapping into one fresh generation (every bucket
+    rewritten once, one file set, no cross-root unions for readers),
+    committed as a new snapshot. Older snapshots keep reading their own
+    generations — compaction adds files, it never mutates or deletes
+    (use :func:`expire_snapshots` to reclaim space afterwards). Run it
+    when merge churn has scattered hot buckets across generations.
+
+    Returns {snapshot_id, buckets, rows}."""
+    log = SnapshotLog(out_dir)
+    if not log.snapshots:
+        raise ValueError("compact_results needs an existing completed store")
+    latest = log.snapshots[-1]["snapshot_id"]
+    cur = read_results(spark, out_dir, snapshot=latest)
+    sid = log.next_id()
+    rel = os.path.join(_REWRITE_ROOT, f"g{sid}")
+    gen_dir = os.path.join(out_dir, rel)
+    if os.path.exists(gen_dir):  # crashed earlier attempt
+        import shutil
+
+        shutil.rmtree(gen_dir)
+    rows = cur.count()
+    cur.write.mode("overwrite").partitionBy("bucket").parquet(gen_dir)
+    buckets = sorted(_locations_at(log, latest))
+    sid = log.append(buckets, locations={str(b): rel for b in buckets})
+    return {"snapshot_id": sid, "buckets": buckets, "rows": int(rows)}
+
+
+def expire_snapshots(out_dir: str, keep_from: int) -> dict:
+    """Iceberg ``expire_snapshots`` analog: drop snapshots older than
+    ``keep_from`` from the log and DELETE every generation directory no
+    retained snapshot references. Base ``bucket=<b>/`` dirs are never
+    deleted (snapshot ids are preserved, so pins >= keep_from keep
+    working; pins below now raise, same as Iceberg). The log rewrite is
+    one atomic rename AFTER deletions are computed but BEFORE they run,
+    so a crash between the two leaves only unreferenced orphan dirs —
+    re-running expire_snapshots reclaims them.
+
+    Returns {kept_snapshots, deleted_dirs}."""
+    import shutil
+
+    log = SnapshotLog(out_dir)
+    log.entry(keep_from)  # raises if absent
+    retained = [s for s in log.snapshots if s["snapshot_id"] >= keep_from]
+    # fold the expired prefix's effective mapping into the first retained
+    # snapshot, so location inheritance never depends on dropped entries
+    first_map = {
+        str(b): rel
+        for b, rel in _locations_at(log, keep_from).items()
+        if rel
+    }
+    if first_map:
+        retained[0] = {**retained[0], "locations": first_map}
+    needed: set[str] = set()
+    for snap in retained:
+        # a retained snapshot needs every location visible AT it
+        for rel in _locations_at(log, snap["snapshot_id"]).values():
+            if rel:
+                needed.add(rel)
+    rewrites_dir = os.path.join(out_dir, _REWRITE_ROOT)
+    existing = (
+        sorted(os.listdir(rewrites_dir)) if os.path.isdir(rewrites_dir) else []
+    )
+    doomed = [
+        d for d in existing if os.path.join(_REWRITE_ROOT, d) not in needed
+    ]
+    # commit the truncated log first (atomic); orphan dirs after a crash
+    # here are invisible and reclaimed by the next expire call
+    tmp = log.path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(retained, f, indent=1)
+    os.replace(tmp, log.path)
+    for d in doomed:
+        shutil.rmtree(os.path.join(rewrites_dir, d), ignore_errors=True)
+    return {
+        "kept_snapshots": [s["snapshot_id"] for s in retained],
+        "deleted_dirs": doomed,
     }

@@ -413,3 +413,100 @@ def test_merge_rescore_chained_merges_time_travel(spark, tmp_path):
     assert scores(2)["u3"] == len("third crawl u3 newer!")
     assert scores()["u3"] == len("third crawl u3 newer!")
     assert r2["snapshot_id"] == 2
+
+
+def test_compact_and_expire_lifecycle(spark, tmp_path):
+    """Compaction materializes the current mapping into one generation
+    without changing any read; expiry drops old snapshots and deletes
+    exactly the unreferenced generation dirs; a retained snapshot that
+    only INHERITED a rewrite keeps reading it after the inheriting
+    entries are expired."""
+    import os
+
+    from metadata_quality_stack_spark.sources.sink import (
+        SnapshotLog,
+        compact_results,
+        expire_snapshots,
+        merge_rescore,
+    )
+
+    out = str(tmp_path / "store")
+    v0 = [(f"u{i}", f"crawl one body {i} with several words") for i in range(16)]
+    run_incremental(
+        spark, _mk_pages(spark, v0), out, _score_transform, key_col="url",
+        n_buckets=4,
+    )
+    v1 = [(u, t) for u, t in v0 if u != "u5"] + [("u5", "crawl two u5 changed")]
+    merge_rescore(spark, out, _mk_pages(spark, v1), _score_transform, key_col="url")
+
+    def snap_scores(snapshot=None):
+        return sorted(
+            tuple(r)
+            for r in read_results(spark, out, snapshot=snapshot)
+            .select("url", "total_score")
+            .collect()
+        )
+
+    latest_before = snap_scores()
+    # compact: new snapshot (id 2), identical reads, ONE generation dir
+    res = compact_results(spark, out)
+    assert res["snapshot_id"] == 2 and res["rows"] == 16
+    assert snap_scores() == latest_before
+    assert snap_scores(1) == latest_before  # pre-compact merge snapshot
+    assert os.path.isdir(os.path.join(out, "_rewrites", "g1"))
+    assert os.path.isdir(os.path.join(out, "_rewrites", "g2"))
+
+    # expire everything before the compaction: g1 (merge) is now
+    # unreferenced and deleted; g2 survives; snapshot ids preserved
+    exp = expire_snapshots(out, keep_from=2)
+    assert exp["deleted_dirs"] == ["g1"]
+    assert not os.path.isdir(os.path.join(out, "_rewrites", "g1"))
+    assert snap_scores(2) == latest_before
+    assert snap_scores() == latest_before
+    with pytest.raises(ValueError, match="snapshot 0 not in log"):
+        read_results(spark, out, snapshot=0).collect()
+
+    # a further merge after expiry must not collide with retained g2
+    v2 = [(u, t) for u, t in v1 if u != "u7"] + [("u7", "crawl three u7 anew")]
+    r2 = merge_rescore(spark, out, _mk_pages(spark, v2), _score_transform, key_col="url")
+    assert r2["snapshot_id"] == 3
+    assert os.path.isdir(os.path.join(out, "_rewrites", "g3"))
+    after = {r.url: r.total_score for r in read_results(spark, out).collect()}
+    assert after["u7"] == len("crawl three u7 anew")
+    assert after["u5"] == len("crawl two u5 changed")
+
+
+def test_expire_preserves_inherited_locations(spark, tmp_path):
+    """A plain (no-locations) snapshot appended after a merge keeps
+    reading the merge's rewritten buckets even when the merge snapshot
+    itself is expired — the expiry folds the effective mapping into the
+    first retained entry."""
+    import os
+
+    from metadata_quality_stack_spark.sources.sink import (
+        SnapshotLog,
+        expire_snapshots,
+        merge_rescore,
+    )
+
+    out = str(tmp_path / "store")
+    v0 = [(f"u{i}", f"first body {i} some words here") for i in range(10)]
+    run_incremental(
+        spark, _mk_pages(spark, v0), out, _score_transform, key_col="url",
+        n_buckets=2,
+    )
+    v1 = [(u, t) for u, t in v0 if u != "u1"] + [("u1", "second crawl u1 text")]
+    merge_rescore(spark, out, _mk_pages(spark, v1), _score_transform, key_col="url")
+    # append a plain snapshot that only inherits (no locations of its own)
+    log = SnapshotLog(out)
+    sid = log.append(log.buckets_at(1))
+    assert "locations" not in log.snapshots[-1]
+
+    expire_snapshots(out, keep_from=sid)
+    after = {r.url: r.total_score for r in read_results(spark, out).collect()}
+    assert after["u1"] == len("second crawl u1 text")
+    pinned = {
+        r.url: r.total_score
+        for r in read_results(spark, out, snapshot=sid).collect()
+    }
+    assert pinned == after
