@@ -693,6 +693,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_index.index_probe_cycle_bloom(s, _t(s, d, "documents"))
 
     q["dedup_index_probe_bloom"] = dedup_index_probe_bloom
+
+    # persistent LSH band index lifecycle (fuzzy twin of the exact
+    # index): build -> ingest -> compact -> probe-and-ingest
+    def fuzzy_index_probe_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.sources import fuzzy_index
+
+        return fuzzy_index.fuzzy_index_probe_cycle(s, _t(s, d, "documents"))
+
+    q["fuzzy_index_probe"] = fuzzy_index_probe_q
     # signature-agreement Jaccard estimate per LSH candidate pair (the
     # text-free verify stage between banding and exact Jaccard)
     q["minhash_jaccard_estimate"] = lambda s, d: dedup.minhash_jaccard_estimate(
@@ -1477,6 +1486,53 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
+    # fuzzy index lifecycle: C probed against A's cells UNION B's
+    # ADMITTED cells; min-id precedence within each batch; compaction
+    # (distinct rewrite) cannot appear in the value algebra at all
+    o["fuzzy_index_probe"] = f"""
+{bands_cte},
+a_idx AS (SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 3 = 0),
+bb AS (SELECT * FROM bands WHERE doc_id % 3 = 1),
+b_first AS (SELECT band, bucket, min(doc_id) AS first_id FROM bb GROUP BY 1, 2),
+b_flags AS (
+  SELECT d.doc_id,
+    (SELECT count(DISTINCT x.band) FROM bb x JOIN a_idx i
+       ON x.band = i.band AND x.bucket = i.bucket
+     WHERE x.doc_id = d.doc_id) AS n_hit,
+    EXISTS (SELECT 1 FROM bb x JOIN b_first f
+              ON x.band = f.band AND x.bucket = f.bucket
+            WHERE x.doc_id = d.doc_id AND f.first_id < d.doc_id) AS b_dup
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) d
+),
+idx2 AS (
+  SELECT band, bucket FROM a_idx
+  UNION
+  SELECT band, bucket FROM bb
+  WHERE doc_id IN (SELECT doc_id FROM b_flags WHERE n_hit = 0 AND NOT b_dup)
+),
+cc AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
+c_first AS (SELECT band, bucket, min(doc_id) AS first_id FROM cc GROUP BY 1, 2)
+SELECT d.doc_id,
+  CAST((SELECT count(DISTINCT x.band) FROM cc x JOIN idx2 i
+          ON x.band = i.band AND x.bucket = i.bucket
+        WHERE x.doc_id = d.doc_id) AS BIGINT) AS n_hit_bands,
+  EXISTS (SELECT 1 FROM cc x JOIN c_first f
+            ON x.band = f.band AND x.bucket = f.bucket
+          WHERE x.doc_id = d.doc_id AND f.first_id < d.doc_id)
+    AS batch_near_dup,
+  ((SELECT count(DISTINCT x.band) FROM cc x JOIN idx2 i
+      ON x.band = i.band AND x.bucket = i.bucket
+    WHERE x.doc_id = d.doc_id) > 0) AS near_dup_of_corpus,
+  ((SELECT count(DISTINCT x.band) FROM cc x JOIN idx2 i
+      ON x.band = i.band AND x.bucket = i.bucket
+    WHERE x.doc_id = d.doc_id) = 0
+   AND NOT EXISTS (SELECT 1 FROM cc x JOIN c_first f
+                     ON x.band = f.band AND x.bucket = f.bucket
+                   WHERE x.doc_id = d.doc_id AND f.first_id < d.doc_id))
+    AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
+"""
+
     # connected components over the candidate graph: min reachable doc_id
     # per node via a recursive CTE (the SQL twin of the Spark label loop)
     clusters_sql = f"""
