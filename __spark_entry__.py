@@ -29,6 +29,7 @@ from metadata_quality_stack_spark.operators import (
     gopher,
     micro_lm,
     multimodal,
+    retrieval,
     sketches,
     sampling,
     similarity,
@@ -58,6 +59,8 @@ VOCAB_LABELS = ["rc1", "src2"]  # 'rc1' only matches by substring fallback
 # real-param (the separator-repair case), and a fragment; doc_id % 400
 # forces genuine cross-form collisions for the dedup query.
 BLOCKED_DOMAINS = ["src3.example.com", "src7.example.com", "src11.example.com"]
+# BM25 gate query: common + mid-frequency + absent term (df=0 path)
+BM25_QUERY = ["vector", "hash", "window", "nosuchterm"]
 # deterministic capture time per doc as epoch seconds (BIGINT — dialect-
 # shared; the operator orders any comparable ts type). doc_id strides on
 # 13/7 guarantee same-url snapshots get distinct-looking times while
@@ -560,6 +563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # script census + Latin/Cyrillic homoglyph-word detection
     q["script_census"] = lambda s, d: textops.script_census(
         _t(s, d, "documents")
+    )
+    # lexical retrieval: gate-exact rational-idf BM25 top-k
+    q["bm25_topk"] = lambda s, d: retrieval.bm25_topk(
+        _t(s, d, "documents"), BM25_QUERY, k=20
     )
     # FineWeb-style domain-level filtering: drop whole low-keep-rate
     # sources via a broadcast anti-join (threshold 0.8 splits sf0.01)
@@ -1283,6 +1290,7 @@ SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
     o["mojibake_stats"] = textops.mojibake_stats_sql()
     o["lexical_diversity"] = textops.lexical_diversity_sql()
     o["script_census"] = textops.script_census_sql()
+    o["bm25_topk"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
     o["source_quality_filter"] = f"""
 WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
 rates AS (SELECT source,
