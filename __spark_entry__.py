@@ -29,6 +29,7 @@ from metadata_quality_stack_spark.operators import (
     gopher,
     micro_lm,
     multimodal,
+    pq,
     retrieval,
     sketches,
     sampling,
@@ -880,6 +881,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.ivf_assign(_t(s, d, "embeddings"))
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_vecs"))
+    )
+    # trained product quantization (FAISS-style ADC): codebooks Lloyd-
+    # trained (one bounded-key agg per round), corpus encoded map-only
+    # to 4x4-bit codes, query answered via M broadcast distance-table
+    # joins + fixed-order sum — the oracle replays the full training
+    q["pq_topk_trained"] = lambda s, d: pq.pq_topk_trained(
+        _t(s, d, "embeddings")
+    )
+    # PQ index-balance readout (dead/hot codes), same trained codebooks
+    q["pq_code_histogram"] = lambda s, d: pq.pq_code_histogram(
+        _t(s, d, "embeddings")
     )
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
         _t(s, d, "embeddings")
@@ -1823,6 +1835,8 @@ WHERE a.vec_id <> 0
 ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
 """
     o["ivf_topk_trained"] = similarity.ivf_trained_sql()
+    o["pq_topk_trained"] = pq.pq_trained_sql()
+    o["pq_code_histogram"] = pq.pq_code_histogram_sql()
     o["ann_topk_multiprobe"] = similarity.ann_topk_multiprobe_sql()
     o["ann_topk"] = f"""
 WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),

@@ -1,0 +1,125 @@
+"""Product quantization: training improves reconstruction, encoding is
+map-only (plan-asserted), ADC top-k tracks exact squared-L2 top-k with
+measured recall, and the DuckDB oracle replays the full training."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import pq
+
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.pq_train(emb)
+
+
+def _exact_sqdist_topk(emb, qid, k):
+    q = emb.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != qid)
+        .select(
+            "vec_id",
+            pq._sqdist(F.col("embedding"), F.col("q_emb")).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def test_codebook_shapes_and_determinism(emb, books):
+    assert len(books) == pq.PQ_M
+    for book in books:
+        assert 1 <= len(book) <= pq.PQ_KSUB
+        for _, cent in book:
+            assert len(cent) == pq.PQ_DSUB
+    assert pq.pq_train(emb) == books
+
+
+def test_training_reduces_quantization_error(emb):
+    """Lloyd rounds must not worsen mean reconstruction (sum of
+    per-subspace distances to the assigned centroid)."""
+
+    def mean_err(bs):
+        enc = pq._coded_tall(emb, bs)
+        cb = emb.sparkSession.createDataFrame(
+            [
+                (i, int(c), [float(v) for v in cent])
+                for i, b in enumerate(bs)
+                for c, cent in b
+            ],
+            "m int, code long, cent array<double>",
+        )
+        return (
+            enc.join(F.broadcast(cb), ["m", "code"])
+            .select(pq._sqdist(F.col("sub"), F.col("cent")).alias("d"))
+            .agg(F.avg("d"))
+            .first()[0]
+        )
+
+    seed_rows = emb.filter(F.col("vec_id") < pq.PQ_KSUB).collect()
+    seed = [
+        sorted(
+            (
+                int(r.vec_id),
+                [
+                    float(v)
+                    for v in r.embedding[
+                        i * pq.PQ_DSUB : (i + 1) * pq.PQ_DSUB
+                    ]
+                ],
+            )
+            for r in seed_rows
+        )
+        for i in range(pq.PQ_M)
+    ]
+    trained = pq.pq_train(emb)
+    assert mean_err(trained) < mean_err(seed)
+
+
+def test_encode_is_map_only(emb, books):
+    plan = pq.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_adc_recall_floor(emb):
+    """ADC recall@10 vs exact squared-L2 over random 64-dim data with
+    4x16 codebooks — measured 0.28; assert a safety floor well above
+    the 0.02 expectation of random top-10."""
+    hits = tot = 0
+    for qid in range(0, 30, 6):
+        exact = {r.vec_id for r in _exact_sqdist_topk(emb, qid, 10).collect()}
+        approx = {
+            r.vec_id for r in pq.pq_topk_trained(emb, qid, 10).collect()
+        }
+        hits += len(exact & approx)
+        tot += 10
+    assert hits / tot >= 0.15
+
+
+def test_oracle_replays_training(emb):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    sp = pq.pq_topk_trained(emb, 3, 5).toPandas()
+    dk = con.execute(pq.pq_trained_sql(3, 5)).fetchdf()
+    assert list(sp.vec_id) == list(dk.vec_id)
+    assert np.allclose(sp.adc_dist, dk.adc_dist, atol=0)
+
+
+def test_histogram_covers_all_vectors(emb):
+    h = pq.pq_code_histogram(emb).toPandas()
+    n = emb.count()
+    assert set(h.m) == set(range(pq.PQ_M))
+    for m in range(pq.PQ_M):
+        assert h[h.m == m].n_vecs.sum() == n
