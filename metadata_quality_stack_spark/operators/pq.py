@@ -260,6 +260,123 @@ def pq_code_histogram(
     return tall.groupBy("m", "code").agg(F.count("*").alias("n_vecs"))
 
 
+IVFPQ_NCELLS = 16
+IVFPQ_NPROBE = 4
+
+
+def _coarse_cells(
+    embeddings: DataFrame, n_cells: int = IVFPQ_NCELLS
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the full embeddings of the first
+    ``n_cells`` vec_ids (the ivf_assign seeding, L2 metric here so the
+    coarse and fine quantizers agree)."""
+    return sorted(
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+
+def _argmin_cell(emb: Column, cells: list[tuple[int, list[float]]]) -> Column:
+    entries = []
+    for cell_id, cent in cells:
+        c = F.array(*[F.lit(float(v)) for v in cent])
+        d = F.round(_sqdist(emb, c), 6)
+        entries.append(
+            F.struct(d.alias("d"), F.lit(int(cell_id)).cast("long").alias("cell"))
+        )
+    return F.array_min(F.array(*entries))["cell"]
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    n_cells: int = IVFPQ_NCELLS,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITER,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC search plan): a coarse quantizer routes
+    each vector to a cell map-only; the query probes the ``nprobe``
+    nearest cells, and ONLY vectors in probed cells are ADC-scored from
+    their codes. At 100 TB this is the whole game: the candidate set
+    shrinks by n_cells/nprobe before any scoring, the scoring reads
+    2-byte codes instead of 256-byte vectors, and the corpus side of
+    the plan is one map-only projection + M broadcast joins — nothing
+    wide until the final TakeOrdered.
+
+    Both quantizers use squared L2 so coarse routing and fine ranking
+    agree (the FAISS convention). The oracle replays coarse assignment,
+    PQ training, encoding, and the probe in one chained-CTE SQL."""
+    cells = _coarse_cells(embeddings, n_cells)
+    books = pq_train(embeddings, m, dsub, ksub, n_iter)
+    spark = embeddings.sparkSession
+
+    enc = embeddings.select(
+        "vec_id",
+        "label",
+        _argmin_cell(F.col("embedding"), cells).alias("cell_id"),
+        *[
+            _argmin_code(_sub(F.col("embedding"), i, dsub), books[i]).alias(
+                f"code{i}"
+            )
+            for i in range(m)
+        ],
+    )
+    q_emb = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cells_df = spark.createDataFrame(
+        [(cid, cent) for cid, cent in cells], "cell_id long, cent array<double>"
+    )
+    probe = (
+        cells_df.crossJoin(F.broadcast(q_emb))
+        .select(
+            "cell_id",
+            F.round(_sqdist(F.col("cent"), F.col("q_emb")), 6).alias("qcd"),
+        )
+        .orderBy(F.asc("qcd"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    cb = spark.createDataFrame(
+        [
+            (i, int(code), [float(v) for v in cent])
+            for i, book in enumerate(books)
+            for code, cent in book
+        ],
+        "m int, code long, cent array<double>",
+    )
+    dt = cb.crossJoin(F.broadcast(q_emb))
+    expr = F.round(_sqdist(_sub(F.col("q_emb"), m - 1, dsub), F.col("cent")), 6)
+    for i in range(m - 2, -1, -1):
+        expr = F.when(
+            F.col("m") == i,
+            F.round(_sqdist(_sub(F.col("q_emb"), i, dsub), F.col("cent")), 6),
+        ).otherwise(expr)
+    dt = dt.select("m", "code", expr.alias("qd"))
+
+    out = enc.join(F.broadcast(probe), "cell_id")
+    for i in range(m):
+        dt_i = dt.filter(F.col("m") == i).select(
+            F.col("code").alias(f"code{i}"), F.col("qd").alias(f"qd{i}")
+        )
+        out = out.join(F.broadcast(dt_i), f"code{i}")
+    adc = F.col("qd0")
+    for i in range(1, m):
+        adc = adc + F.col(f"qd{i}")
+    return (
+        out.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 # ----------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ----------------------------------------------------------------------
@@ -369,4 +486,67 @@ def pq_code_histogram_sql(
     return f"""WITH {ctes},
 {_final_enc_cte(final_cb, dsub)}
 SELECT m, code, count(*) AS n_vecs FROM enc GROUP BY m, code
+"""
+
+
+def ivfpq_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    n_cells: int = IVFPQ_NCELLS,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITER,
+) -> str:
+    """Full replay of :func:`ivfpq_topk`: PQ training + encoding CTEs
+    (shared with pq_trained_sql), coarse cells = the first ``n_cells``
+    full embeddings, per-vector coarse assignment as an argmin window
+    over full-dim squared L2 (round 6, cell_id tiebreak — same as the
+    Spark array_min-of-structs), the nprobe nearest cells to the query,
+    then the SAME fixed-order ADC sum restricted to probed cells."""
+    ctes, final_cb = _train_ctes(m, dsub, ksub, n_iter)
+    full = m * dsub
+    cdist = _sqdist_sql("e.embedding", "c.cent", full)
+    qcdist = _sqdist_sql("c.cent", "q.q_emb", full)
+    qdist = _sqdist_sql("s.sub", "c.cent", dsub)
+    wide = ", ".join(
+        f"max(CASE WHEN m = {i} THEN code END) AS code{i}" for i in range(m)
+    )
+    joins = "\n".join(
+        f"JOIN dt d{i} ON d{i}.m = {i} AND d{i}.code = w.code{i}"
+        for i in range(m)
+    )
+    adc = " + ".join(f"d{i}.qd" for i in range(m))
+    return f"""WITH {ctes},
+{_final_enc_cte(final_cb, dsub)},
+cells AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings
+          WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({cdist}, 6) ASC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cells c) WHERE rn = 1),
+qv AS (SELECT embedding AS q_emb FROM embeddings
+       WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id, round({qcdist}, 6) AS qcd
+    FROM cells c CROSS JOIN qv q)
+  ORDER BY qcd ASC, cell_id ASC LIMIT {nprobe}),
+qsub AS (SELECT m, sub FROM sub_e WHERE vec_id = {query_vec_id}),
+dt AS (SELECT c.m, c.code, round({qdist}, 6) AS qd
+       FROM {final_cb} c JOIN qsub s USING (m)),
+wide AS (SELECT vec_id, {wide} FROM enc GROUP BY vec_id),
+scored AS (
+  SELECT w.vec_id, round({adc}, 6) AS adc_dist
+  FROM wide w
+  JOIN assign a ON a.vec_id = w.vec_id
+  JOIN probe p ON p.cell_id = a.cell_id
+  {joins}
+  WHERE w.vec_id <> {query_vec_id})
+SELECT s.vec_id, e.label, s.adc_dist
+FROM scored s JOIN embeddings e USING (vec_id)
+ORDER BY s.adc_dist ASC, s.vec_id ASC LIMIT {k}
 """

@@ -123,3 +123,47 @@ def test_histogram_covers_all_vectors(emb):
     assert set(h.m) == set(range(pq.PQ_M))
     for m in range(pq.PQ_M):
         assert h[h.m == m].n_vecs.sum() == n
+
+
+def test_ivfpq_subset_of_pq_restricted_to_probed_cells(emb, books):
+    """IVF-PQ must equal full-PQ ADC ranking restricted to the probed
+    cells: same training, same distance tables, only the candidate set
+    shrinks. Recompute the probe + assignment with the module helpers
+    and check the result row-for-row."""
+    qid, k = 0, 10
+    cells = pq._coarse_cells(emb)
+    assign = emb.select(
+        "vec_id", pq._argmin_cell(F.col("embedding"), cells).alias("cell_id")
+    ).toPandas()
+    q_emb = emb.filter(F.col("vec_id") == qid).first().embedding
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (float(x) - float(y)) ** 2
+        return round(acc, 6)
+
+    probed = {
+        cid
+        for _, cid in sorted(
+            (sq(cent, q_emb), cid) for cid, cent in cells
+        )[: pq.IVFPQ_NPROBE]
+    }
+    member = set(
+        assign[assign.cell_id.isin(probed)].vec_id.astype(int)
+    ) - {qid}
+    got = pq.ivfpq_topk(emb, qid, k).toPandas()
+    assert set(got.vec_id.astype(int)) <= member
+    full = pq.pq_topk_trained(emb, qid, emb.count()).toPandas()
+    want = full[full.vec_id.isin(member)].head(k)
+    assert list(got.vec_id) == list(want.vec_id)
+    assert np.allclose(got.adc_dist, want.adc_dist, atol=0)
+
+
+def test_ivfpq_oracle_matches(emb):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    sp = pq.ivfpq_topk(emb, 7, 8).toPandas()
+    dk = con.execute(pq.ivfpq_sql(7, 8)).fetchdf()
+    assert list(sp.vec_id) == list(dk.vec_id)
+    assert np.allclose(sp.adc_dist, dk.adc_dist, atol=0)
