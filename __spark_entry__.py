@@ -22,6 +22,7 @@ from metadata_quality_stack_spark import config
 from metadata_quality_stack_spark.operators import (
     analytics,
     bloom,
+    bpe,
     classifier,
     contamination,
     dedup,
@@ -482,6 +483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_fertility_by_lang"] = lambda s, d: textops.bpe_fertility_by_lang(
         _t(s, d, "documents")
     )
+    # BPE merge TRAINING (Sennrich 2016): one word census, then K rounds
+    # of bounded pair-census + 1-row argmax to the driver — the oracle
+    # replays every round in chained CTEs (operators/bpe.py)
+    q["bpe_learned_merges"] = lambda s, d: bpe.bpe_learned_merges(
+        _t(s, d, "documents")
+    )
+    # corpus re-tokenized under the trained merges: per-doc subword
+    # counts via ONE broadcast join of the segmentation map
+    q["bpe_tokenized_docs"] = lambda s, d: bpe.bpe_tokenized_docs(
+        _t(s, d, "documents")
+    )
     # keep-flip 2x2 between the two scoring profiles (one scan, chained
     # stagings — the oracle states the naive self-join form)
     q["profile_flip_matrix"] = lambda s, d: analytics.profile_flip_matrix(
@@ -893,6 +905,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_code_histogram"] = lambda s, d: pq.pq_code_histogram(
         _t(s, d, "embeddings")
     )
+    # IVF-PQ (FAISS IVFADC): coarse cells route map-only, the query
+    # probes nprobe cells, and only probed members are ADC-scored from
+    # 2-byte codes — candidate set and payload both shrink before any
+    # scoring. The oracle replays coarse assignment + PQ training +
+    # encoding + the probe in one chained-CTE SQL.
+    q["ivfpq_topk"] = lambda s, d: pq.ivfpq_topk(_t(s, d, "embeddings"))
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
         _t(s, d, "embeddings")
     )
@@ -1270,6 +1288,8 @@ SELECT doc_id, source FROM (
     o["lang_stopword_density"] = textops.lang_stopword_density_sql()
     o["length_outlier_trim"] = sampling.length_outlier_trim_sql()
     o["bpe_fertility_by_lang"] = textops.bpe_fertility_by_lang_sql()
+    o["bpe_learned_merges"] = bpe.bpe_learned_merges_sql()
+    o["bpe_tokenized_docs"] = bpe.bpe_tokenized_docs_sql()
     o["rule_ablation"] = analytics.rule_ablation_sql()
     _scored_a = sqlgen.native_scoring_sql()
     _scored_b = sqlgen.native_scoring_sql(profile="webtext_nti_native")
@@ -1837,6 +1857,7 @@ ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
     o["ivf_topk_trained"] = similarity.ivf_trained_sql()
     o["pq_topk_trained"] = pq.pq_trained_sql()
     o["pq_code_histogram"] = pq.pq_code_histogram_sql()
+    o["ivfpq_topk"] = pq.ivfpq_sql()
     o["ann_topk_multiprobe"] = similarity.ann_topk_multiprobe_sql()
     o["ann_topk"] = f"""
 WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),

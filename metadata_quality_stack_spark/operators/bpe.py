@@ -1,0 +1,269 @@
+"""Byte-pair-encoding merge training — distributed tokenizer induction
+(Sennrich, Haddow, Birch, "Neural Machine Translation of Rare Words
+with Subword Units", ACL 2016; public method).
+
+The classic BPE trainer never touches the corpus after one word census:
+
+* **census** — the map-reduce wordcount: tokenize once, groupBy word.
+  At 100 TB the census output is vocabulary-sized (10^7-10^8 rows of a
+  few bytes), 4-6 orders of magnitude smaller than the corpus — ALL
+  subsequent training rounds run on this table, so the expensive
+  tokenize+shuffle happens exactly once.
+* **per round** — adjacent symbol pairs of each word's current segment
+  sequence, weighted by word count, in ONE groupBy whose map-side
+  partial aggregation bounds the exchange at (distinct pairs) rows;
+  the argmax pair is a 1-row TakeOrdered to the driver (the same
+  bounded-driver-state pattern as ivf_train / dsir / classifier GD).
+  Applying the merge is a map-only literal string replace on the
+  vocab table.
+* **application** — the final word -> segmentation map joins the corpus
+  once (broadcastable whenever the vocab fits an executor; at open-web
+  vocab sizes it is a few GB — still a broadcast on a healthy cluster,
+  else a word-keyed shuffle join of fixed-width rows).
+
+Merge application uses the delimiter trick: the sequence is stored
+space-joined, the pair "a b" is replaced as ' a b ' -> ' ab ' inside a
+space-padded copy. A single non-overlapping left-to-right replace can
+miss every second occurrence of an overlapping chain (' a b a b '
+shares the middle delimiter), so the replace runs TWICE: pass-1 misses
+are separated by merged tokens afterwards and cannot overlap each
+other, and a merge can never create a new occurrence of its own
+pattern (the merged symbol contains no space). Two passes are
+therefore exact — and `replace` is non-overlapping left-to-right in
+both engines, so the DuckDB mirror replays training bit-for-bit with
+the learned pair as a scalar subquery where Spark uses the collected
+literal.
+
+Words are lowercase ASCII runs ([a-z]+) — the alphabet stays disjoint
+from the space delimiter by construction. No end-of-word marker is
+appended (merges never cross word boundaries either way; documented
+choice, same in both engines).
+
+Reference parity note: the reference (mjanez/metadata-quality-stack)
+has no tokenizer induction; this module is part of the beyond-reference
+training-data family (token counting / fertility: textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+BPE_WORD_RE = "[a-z]+"
+BPE_N_MERGES = 8
+
+
+def word_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over lowercase ASCII word runs — tokenize ONCE."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), 0)
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def _char_seq(word) -> F.Column:
+    """Space-joined characters: 'hey' -> 'h e y' (regex twin of the
+    DuckDB mirror: one capture-group replace, then trim)."""
+    return F.btrim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def _apply_merge(seq: F.Column, pair: str, merged: str) -> F.Column:
+    """Exact BPE merge on a space-joined sequence: pad, replace twice
+    (see module docstring for why two passes are exact), trim."""
+    padded = F.concat(F.lit(" "), seq, F.lit(" "))
+    find, repl = F.lit(f" {pair} "), F.lit(f" {merged} ")
+    once = F.replace(padded, find, repl)
+    return F.btrim(F.replace(once, find, repl))
+
+
+def train_merges(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges: [(pair, merged, total_count)]
+    in merge order. Ties break on pair ASC (both engines). The census
+    is persisted so the K rounds re-read a vocab-sized cache, never
+    the corpus (the single-tokenization discipline the classifier
+    trainer uses)."""
+    census = word_census(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    census.count()
+    try:
+        vocab = census.select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            toks = F.split(F.col("seq"), " ")
+            n = F.size(toks)
+            grams = F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            pairs = (
+                vocab.filter(n >= 2)
+                .select("cnt", F.explode(grams).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("total"))
+                .orderBy(F.desc("total"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            pair = pairs[0]["pair"]
+            merged = pair.replace(" ", "")
+            merges.append((pair, merged, int(pairs[0]["total"])))
+            vocab = vocab.select(
+                "word", "cnt", _apply_merge(F.col("seq"), pair, merged).alias("seq")
+            )
+        return merges
+    finally:
+        census.unpersist()
+
+
+def bpe_learned_merges(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Gate readout of the trained merge table: (rank, pair, merged,
+    total) — rank is merge order (1-based)."""
+    merges = train_merges(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        [(i + 1, p, m, t) for i, (p, m, t) in enumerate(merges)],
+        "rank int, pair string, merged string, total bigint",
+    )
+
+
+def segment_vocab(
+    docs: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt, seq, n_pieces) after applying the learned merges —
+    map-only over the census, K staged replace columns."""
+    vocab = word_census(docs, text_col).select(
+        "word", "cnt", _char_seq(F.col("word")).alias("seq")
+    )
+    for pair, merged, _ in merges:
+        vocab = vocab.select(
+            "word", "cnt", _apply_merge(F.col("seq"), pair, merged).alias("seq")
+        )
+    return vocab.select(
+        "word", "cnt", "seq", F.size(F.split("seq", " ")).cast("long").alias("n_pieces")
+    )
+
+
+def bpe_tokenized_docs(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Per-document subword counts under the corpus-trained tokenizer:
+    (doc_id, n_words, n_subwords, n_chars_in_words). The corpus joins
+    the segmentation map ONCE (broadcast-sized at gate scale; word-
+    keyed join of fixed-width rows at 100 TB). Docs with no [a-z] runs
+    keep a zero row (left join from the corpus side)."""
+    merges = train_merges(docs, n_merges, text_col)
+    seg = segment_vocab(docs, merges, text_col).select(
+        "word", "n_pieces", F.length("word").cast("long").alias("wlen")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), 0)
+        ).alias("word"),
+    )
+    per = (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_subwords"),
+            F.sum("wlen").alias("n_chars_in_words"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).alias("n_subwords"),
+            F.coalesce("n_chars_in_words", F.lit(0)).alias("n_chars_in_words"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracle mirrors — chained CTEs replaying every training round
+# ----------------------------------------------------------------------
+def _train_ctes(
+    n_merges: int = BPE_N_MERGES, table: str = "documents", text_col: str = "text"
+) -> tuple[str, str]:
+    """(ctes, final_seq_cte): census, seq0, then per round pairsR/bestR/
+    seqR. bestR feeds seqR as scalar subqueries (coalesce to a chr(1)
+    sentinel so an exhausted pair table makes the replace a no-op, the
+    Spark early-stop twin)."""
+    # every CTE is MATERIALIZED: bestR is referenced 4x by seqR and
+    # DuckDB inlines plain CTEs per reference, which re-expands the
+    # whole training chain exponentially (4^K census scans measured as
+    # an fd exhaustion at K=8); materialization keeps the replay linear
+    parts = [
+        f"census AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest("
+        f"regexp_extract_all(lower({text_col}), '{BPE_WORD_RE}')) AS word "
+        f"FROM {table}) GROUP BY word)",
+        "seq0 AS MATERIALIZED (SELECT word, cnt, "
+        "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM census)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"seq{r - 1}"
+        parts.append(
+            f"""pairs{r} AS MATERIALIZED (
+  SELECT pair, sum(cnt) AS total FROM (
+    SELECT cnt, unnest(list_transform(
+      generate_series(1, len(string_split(seq, ' ')) - 1),
+      i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i + 1]
+    )) AS pair
+    FROM {prev} WHERE len(string_split(seq, ' ')) >= 2)
+  GROUP BY pair)"""
+        )
+        parts.append(
+            f"best{r} AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, total "
+            f"FROM pairs{r} ORDER BY total DESC, pair ASC LIMIT 1)"
+        )
+        find = f"coalesce((SELECT ' ' || pair || ' ' FROM best{r}), chr(1))"
+        repl = f"coalesce((SELECT ' ' || merged || ' ' FROM best{r}), chr(1))"
+        parts.append(
+            f"seq{r} AS MATERIALIZED (SELECT word, cnt, trim(replace(replace("
+            f"' ' || seq || ' ', {find}, {repl}), {find}, {repl})) AS seq "
+            f"FROM {prev})"
+        )
+    return ",\n".join(parts), f"seq{n_merges}"
+
+
+def bpe_learned_merges_sql(
+    n_merges: int = BPE_N_MERGES, table: str = "documents", text_col: str = "text"
+) -> str:
+    ctes, _ = _train_ctes(n_merges, table, text_col)
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS rank, pair, merged, total FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {ctes}\nSELECT * FROM ({sel})"
+
+
+def bpe_tokenized_docs_sql(
+    n_merges: int = BPE_N_MERGES, table: str = "documents", text_col: str = "text"
+) -> str:
+    ctes, final = _train_ctes(n_merges, table, text_col)
+    return f"""WITH {ctes},
+seg AS (SELECT word, len(string_split(seq, ' '))::BIGINT AS n_pieces,
+               length(word)::BIGINT AS wlen FROM {final}),
+tok AS (SELECT doc_id, unnest(
+          regexp_extract_all(lower({text_col}), '{BPE_WORD_RE}')) AS word
+        FROM {table}),
+per AS (SELECT t.doc_id, count(*) AS n_words, sum(s.n_pieces) AS n_subwords,
+               sum(s.wlen) AS n_chars_in_words
+        FROM tok t JOIN seg s USING (word) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_subwords, 0) AS n_subwords,
+       coalesce(p.n_chars_in_words, 0) AS n_chars_in_words
+FROM {table} d LEFT JOIN per p USING (doc_id)
+"""

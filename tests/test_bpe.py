@@ -1,0 +1,120 @@
+"""BPE merge training: hand-checkable merges on a tiny corpus, exact
+two-pass merge application on overlapping chains, single-tokenization
+training (census cached), and the DuckDB oracle replaying training."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import bpe
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_merges_match_hand_bpe(spark):
+    # corpus: 'low' x5, 'lower' x2, 'newest' x6. Weighted pair counts:
+    # (w,e) = 2 (lower) + 6 (newest) = 8 — the unique max, merged first.
+    # Round 2: 'lower' is now 'l o we r', so (l,o) = (o,w) = 7 tie ->
+    # 'l o' wins on pair ASC. Round 3: 'e we','n e','s t','we s' all 6
+    # -> 'e we' wins on pair ASC.
+    docs = _docs(spark, ["low " * 5 + "lower " * 2 + "newest " * 6])
+    m = bpe.train_merges(docs, 3)
+    assert m == [("w e", "we", 8), ("l o", "lo", 7), ("e we", "ewe", 6)]
+
+
+def test_overlapping_chain_merges_exactly(spark):
+    # 'ababab...' as alternating tokens: 'a b a b a b' must become
+    # 'ab ab ab' (the two-pass replace), not 'ab a b ab'
+    docs = _docs(spark, ["ababab"])
+    seg = bpe.segment_vocab(docs, [("a b", "ab", 1)])
+    row = seg.filter(F.col("word") == "ababab").first()
+    assert row.seq == "ab ab ab"
+    assert row.n_pieces == 3
+
+
+def test_self_feeding_merge_chain(spark):
+    # merging twice: 'a b'->'ab', then 'ab ab'->'abab'
+    docs = _docs(spark, ["abab abab"])
+    seg = bpe.segment_vocab(
+        docs, [("a b", "ab", 1), ("ab ab", "abab", 1)]
+    )
+    assert seg.first().seq == "abab"
+
+
+def test_tokenized_docs_zero_row_for_wordless_doc(spark):
+    docs = _docs(spark, ["hello hello", "12345 !!!", None])
+    out = (
+        bpe.bpe_tokenized_docs(docs, 2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0].n_words == 2 and out[0].n_chars_in_words == 10
+    assert out[1].n_words == 0 and out[1].n_subwords == 0
+    assert out[2].n_words == 0
+
+
+def test_fewer_pairs_than_merges_early_stops(spark):
+    docs = _docs(spark, ["aa aa"])  # one pair ('a','a') then exhausted
+    m = bpe.train_merges(docs, 5)
+    assert m == [("a a", "aa", 2)]
+
+
+def test_oracle_replays_training(spark):
+    docs = spark.read.parquet(DOCS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    sp = bpe.bpe_learned_merges(docs, 5).toPandas()
+    dk = con.execute(bpe.bpe_learned_merges_sql(5)).fetchdf()
+    assert list(sp.pair) == list(dk.pair)
+    assert list(sp.total.astype(int)) == list(dk.total.astype(int))
+
+
+def test_oracle_tokenized_docs_match(spark):
+    docs = spark.read.parquet(DOCS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    sp = (
+        bpe.bpe_tokenized_docs(docs, 3)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    dk = (
+        con.execute(bpe.bpe_tokenized_docs_sql(3))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(sp, dk)
+
+
+def test_training_reads_cached_census_not_corpus(spark):
+    """The per-round pair census must scan the persisted census, not
+    re-tokenize the corpus: after train_merges returns, no InMemory
+    leak; during the loop the pair-census plan reads InMemoryTableScan."""
+    docs = spark.read.parquet(DOCS)
+    census = bpe.word_census(docs).persist()
+    census.count()
+    try:
+        vocab = census.select(
+            "word", "cnt", bpe._char_seq(F.col("word")).alias("seq")
+        )
+        plan = (
+            vocab._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "InMemoryTableScan" in plan
+        # the only FileScan is the one nested inside the cached
+        # relation's recorded build plan — nothing above it reads files
+        live = plan.split("InMemoryRelation")[0]
+        assert "FileScan" not in live
+    finally:
+        census.unpersist()
