@@ -28,6 +28,7 @@ from metadata_quality_stack_spark.operators import (
     dedup,
     dsir,
     gopher,
+    graph,
     micro_lm,
     multimodal,
     pq,
@@ -492,6 +493,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus re-tokenized under the trained merges: per-doc subword
     # counts via ONE broadcast join of the segmentation map
     q["bpe_tokenized_docs"] = lambda s, d: bpe.bpe_tokenized_docs(
+        _t(s, d, "documents")
+    )
+    # domain link-graph degree readout (synthetic deterministic edges
+    # over observed domains; operators/graph.py)
+    q["domain_link_stats"] = lambda s, d: graph.domain_link_stats(
+        _t(s, d, "documents")
+    )
+    # PageRank power iteration in integer micros — pure dataflow (no
+    # driver state), K chained join+agg rounds, integer sums so both
+    # engines emit identical bits regardless of accumulation order
+    q["domain_pagerank"] = lambda s, d: graph.domain_pagerank(
         _t(s, d, "documents")
     )
     # keep-flip 2x2 between the two scoring profiles (one scan, chained
@@ -1290,6 +1302,8 @@ SELECT doc_id, source FROM (
     o["bpe_fertility_by_lang"] = textops.bpe_fertility_by_lang_sql()
     o["bpe_learned_merges"] = bpe.bpe_learned_merges_sql()
     o["bpe_tokenized_docs"] = bpe.bpe_tokenized_docs_sql()
+    o["domain_link_stats"] = graph.domain_link_stats_sql()
+    o["domain_pagerank"] = graph.domain_pagerank_sql()
     o["rule_ablation"] = analytics.rule_ablation_sql()
     _scored_a = sqlgen.native_scoring_sql()
     _scored_b = sqlgen.native_scoring_sql(profile="webtext_nti_native")

@@ -1,0 +1,89 @@
+"""Domain graph: deterministic edge synthesis, degree stats, and
+integer-micro PageRank — hand-checked tiny graphs, mass conservation,
+teleport-only nodes, hostile rows, and the DuckDB replay."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import graph
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_two_node_graph_hand_computed(spark):
+    # nodes a(idx0), b(idx1); n=2. doc 0 (a): dst idx (0+1+0%1)%2=1 -> b
+    # doc 1 (b): (1+1+1%1)%2=0 -> a; doc 2 (a): -> b
+    docs = _docs(spark, [(0, "a"), (1, "b"), (2, "a")])
+    edges = {
+        (r.src, r.dst): r.w for r in graph.domain_edges(docs).collect()
+    }
+    assert edges == {("a", "b"): 2, ("b", "a"): 1}
+    # r0 = 500000 each. contrib a = 500000//2=250000, b = 500000//1=500000
+    # sum_in(a) = 1*500000, sum_in(b) = 2*250000
+    # base = 15*1e6 // (100*2) = 75000
+    # r1(a) = 75000 + 85*500000//100 = 75000+425000 = 500000
+    # r1(b) = 75000 + 85*500000//100 = 500000
+    r1 = {
+        r.node: r.rank_micro
+        for r in graph.domain_pagerank(docs, 1).collect()
+    }
+    assert r1 == {"a": 500000, "b": 500000}
+
+
+def test_sink_node_gets_teleport_base_only(spark):
+    # 'c' never receives an in-edge in this layout: n=3, docs all from a
+    # doc 0 (a, idx0): dst (0+1+0%2)%3=1 -> b; doc 3 (a): (1+3%2)%3=2 -> c
+    docs = _docs(spark, [(0, "a"), (1, "b"), (2, "c")])
+    stats = {r.node: r for r in graph.domain_link_stats(docs).collect()}
+    assert all(stats[n].out_weight == 1 for n in "abc")
+    assert sum(stats[n].in_weight for n in "abc") == 3
+
+
+def test_rank_mass_conserved_within_truncation(spark):
+    docs = spark.read.parquet(DOCS)
+    ranks = graph.domain_pagerank(docs).agg(
+        F.sum("rank_micro"), F.count("*")
+    ).first()
+    total, n = int(ranks[0]), int(ranks[1])
+    # floor divisions leak a few micros per node per round (contrib,
+    # damping, and base each truncate) — bound the leak, not the bits
+    assert graph.PR_M - 10 * graph.PR_ITER * n <= total <= graph.PR_M
+
+
+def test_null_source_rows_excluded(spark):
+    docs = _docs(spark, [(0, "a"), (1, None), (2, "b")])
+    nodes = {r.node for r in graph.domain_nodes(docs).collect()}
+    assert nodes == {"a", "b"}
+    assert graph.domain_edges(docs).agg(F.sum("w")).first()[0] == 2
+
+
+def test_oracle_matches(spark):
+    docs = spark.read.parquet(DOCS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    for sp_df, sql in [
+        (graph.domain_link_stats(docs), graph.domain_link_stats_sql()),
+        (graph.domain_pagerank(docs), graph.domain_pagerank_sql()),
+    ]:
+        sp = sp_df.toPandas().sort_values("node").reset_index(drop=True)
+        dk = con.execute(sql).fetchdf().sort_values("node").reset_index(drop=True)
+        num = [c for c in sp.columns if c != "node"]
+        sp[num] = sp[num].astype("int64")
+        dk[num] = dk[num].astype("int64")
+        pd.testing.assert_frame_equal(sp, dk)
+
+
+def test_edge_build_broadcasts_node_dim(spark):
+    docs = spark.read.parquet(DOCS)
+    plan = (
+        graph.domain_edges(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
