@@ -215,7 +215,7 @@ def _train_ctes(
         prev = f"seq{r - 1}"
         parts.append(
             f"""pairs{r} AS MATERIALIZED (
-  SELECT pair, sum(cnt) AS total FROM (
+  SELECT pair, sum(cnt)::BIGINT AS total FROM (
     SELECT cnt, unnest(list_transform(
       generate_series(1, len(string_split(seq, ' ')) - 1),
       i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i + 1]
@@ -258,8 +258,9 @@ seg AS (SELECT word, len(string_split(seq, ' '))::BIGINT AS n_pieces,
 tok AS (SELECT doc_id, unnest(
           regexp_extract_all(lower({text_col}), '{BPE_WORD_RE}')) AS word
         FROM {table}),
-per AS (SELECT t.doc_id, count(*) AS n_words, sum(s.n_pieces) AS n_subwords,
-               sum(s.wlen) AS n_chars_in_words
+per AS (SELECT t.doc_id, count(*) AS n_words,
+               sum(s.n_pieces)::BIGINT AS n_subwords,
+               sum(s.wlen)::BIGINT AS n_chars_in_words
         FROM tok t JOIN seg s USING (word) GROUP BY t.doc_id)
 SELECT d.doc_id,
        coalesce(p.n_words, 0) AS n_words,

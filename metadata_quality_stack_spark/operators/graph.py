@@ -181,9 +181,9 @@ SELECT n.node,
   coalesce(i.in_edges, 0) AS in_edges,
   coalesce(i.in_weight, 0) AS in_weight
 FROM nodes n
-LEFT JOIN (SELECT src, count(*) AS out_edges, sum(w) AS out_weight
+LEFT JOIN (SELECT src, count(*) AS out_edges, sum(w)::BIGINT AS out_weight
            FROM edges GROUP BY src) o ON o.src = n.node
-LEFT JOIN (SELECT dst, count(*) AS in_edges, sum(w) AS in_weight
+LEFT JOIN (SELECT dst, count(*) AS in_edges, sum(w)::BIGINT AS in_weight
            FROM edges GROUP BY dst) i ON i.dst = n.node
 """
 
