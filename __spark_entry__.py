@@ -23,6 +23,7 @@ from metadata_quality_stack_spark.operators import (
     analytics,
     bloom,
     bpe,
+    cdc,
     classifier,
     contamination,
     dedup,
@@ -504,6 +505,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver state), K chained join+agg rounds, integer sums so both
     # engines emit identical bits regardless of accumulation order
     q["domain_pagerank"] = lambda s, d: graph.domain_pagerank(
+        _t(s, d, "documents")
+    )
+    # content-defined chunking (LBFS rolling-hash boundaries): per-doc
+    # chunk readout, map-only; integer polynomial window hash
+    q["cdc_chunk_stats"] = lambda s, d: cdc.cdc_chunk_stats(
+        _t(s, d, "documents")
+    )
+    # corpus chunk-dedup census: only (md5, len) pairs shuffle — the
+    # storage-level dedup number exact-dedup can't see
+    q["cdc_dedup_ratio"] = lambda s, d: cdc.cdc_dedup_ratio(
         _t(s, d, "documents")
     )
     # keep-flip 2x2 between the two scoring profiles (one scan, chained
@@ -1304,6 +1315,8 @@ SELECT doc_id, source FROM (
     o["bpe_tokenized_docs"] = bpe.bpe_tokenized_docs_sql()
     o["domain_link_stats"] = graph.domain_link_stats_sql()
     o["domain_pagerank"] = graph.domain_pagerank_sql()
+    o["cdc_chunk_stats"] = cdc.cdc_chunk_stats_sql()
+    o["cdc_dedup_ratio"] = cdc.cdc_dedup_ratio_sql()
     o["rule_ablation"] = analytics.rule_ablation_sql()
     _scored_a = sqlgen.native_scoring_sql()
     _scored_b = sqlgen.native_scoring_sql(profile="webtext_nti_native")
