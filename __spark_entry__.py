@@ -604,6 +604,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk"] = lambda s, d: retrieval.bm25_topk(
         _t(s, d, "documents"), BM25_QUERY, k=20
     )
+
+    # persistent inverted index: build -> probe (scratch dir); the
+    # index is lossless so inline-BM25 SQL is the oracle
+    def text_index_topk(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.sources import text_index
+
+        return text_index.index_topk_cycle(
+            s, _t(s, d, "documents"), BM25_QUERY, k=20
+        )
+
+    q["text_index_topk"] = text_index_topk
+
+    # the append path: build on half, append half, compact, probe —
+    # must equal whole-corpus BM25 (stats scalars maintained exactly)
+    def text_index_incremental(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.sources import text_index
+
+        return text_index.index_incremental_topk_cycle(
+            s, _t(s, d, "documents"), BM25_QUERY, k=20
+        )
+
+    q["text_index_incremental"] = text_index_incremental
     # FineWeb-style domain-level filtering: drop whole low-keep-rate
     # sources via a broadcast anti-join (threshold 0.8 splits sf0.01)
     q["source_quality_filter"] = lambda s, d: analytics.source_quality_filter(
@@ -1350,6 +1372,8 @@ SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
     o["lexical_diversity"] = textops.lexical_diversity_sql()
     o["script_census"] = textops.script_census_sql()
     o["bm25_topk"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
+    o["text_index_topk"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
+    o["text_index_incremental"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
     o["source_quality_filter"] = f"""
 WITH s AS ({sqlgen.native_scoring_sql(extra_cols=('source',))}),
 rates AS (SELECT source,

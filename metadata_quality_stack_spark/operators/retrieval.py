@@ -42,6 +42,15 @@ from metadata_quality_stack_spark.functions.text import token_array
 
 MICRO = 1_000_000
 
+# the gate-exact rational-idf BM25 term score (see module docstring);
+# shared verbatim by the inline scorer below and the persistent
+# inverted index (sources/text_index.py) so the two cannot drift
+BM25_SCORE_EXPR = (
+    f"(((2 * n_corpus - 2 * df + 1) * {MICRO}) div (2 * df + 1))"
+    " * (44 * s_tokens * tf)"
+    " div (20 * s_tokens * tf + 6 * s_tokens + 18 * dl * n_corpus)"
+)
+
 
 def bm25_topk(docs: DataFrame, query: list[str], k: int = 10) -> DataFrame:
     """Top-``k`` documents for ``query`` terms under the gate-exact
@@ -75,11 +84,7 @@ def bm25_topk(docs: DataFrame, query: list[str], k: int = 10) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            F.expr(
-                f"(((2 * n_corpus - 2 * df + 1) * {MICRO}) div (2 * df + 1))"
-                " * (44 * s_tokens * tf)"
-                " div (20 * s_tokens * tf + 6 * s_tokens + 18 * dl * n_corpus)"
-            ).alias("term_score"),
+            F.expr(BM25_SCORE_EXPR).alias("term_score"),
         )
         .groupBy("doc_id")
         .agg(
