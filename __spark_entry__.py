@@ -30,6 +30,7 @@ from metadata_quality_stack_spark.operators import (
     dsir,
     gopher,
     graph,
+    hll,
     micro_lm,
     multimodal,
     pq,
@@ -580,6 +581,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sketches.kmv_merge([sketches.kmv_sketch(x) for x in shards])
 
     q["kmv_shard_merge"] = kmv_shard_merge
+    # HyperLogLog twin of the KMV pair: 64 one-byte registers, merge =
+    # elementwise max, integer Q20 harmonic estimator (operators/hll.py)
+    q["hll_distinct_estimate"] = lambda s, d: hll.hll_distinct_estimate(
+        _t(s, d, "documents")
+    )
+
+    def hll_shard_merge(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        return hll.hll_shard_merge(
+            [
+                hll.hll_registers(docs.filter(F.col("doc_id") % 3 == i))
+                for i in range(3)
+            ]
+        )
+
+    q["hll_shard_merge"] = hll_shard_merge
     # crawl-text canonicalization (C4-style whitespace/control cleanup)
     q["normalize_text"] = lambda s, d: textops.normalize_text(
         _t(s, d, "documents")
@@ -1339,6 +1356,8 @@ SELECT doc_id, source FROM (
     o["domain_pagerank"] = graph.domain_pagerank_sql()
     o["cdc_chunk_stats"] = cdc.cdc_chunk_stats_sql()
     o["cdc_dedup_ratio"] = cdc.cdc_dedup_ratio_sql()
+    o["hll_distinct_estimate"] = hll.hll_distinct_estimate_sql()
+    o["hll_shard_merge"] = hll.hll_shard_merge_sql()
     o["rule_ablation"] = analytics.rule_ablation_sql()
     _scored_a = sqlgen.native_scoring_sql()
     _scored_b = sqlgen.native_scoring_sql(profile="webtext_nti_native")

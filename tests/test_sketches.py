@@ -383,3 +383,68 @@ def test_bm25_plan_is_take_ordered(spark, capsys):
     retrieval.bm25_topk(docs, ["vector", "hash"], k=5).explain("formatted")
     plan = capsys.readouterr().out
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+# ---------------------------------------------------------------- HLL
+def test_hll_estimate_within_stderr(spark):
+    """m=64 -> stderr ~ 1.04/sqrt(64) = 13%; assert within 3 sigma."""
+    import duckdb
+    from metadata_quality_stack_spark.operators import hll
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    true_n = docs.select("text").distinct().count()
+    est = hll.hll_distinct_estimate(docs).first().estimate_micros / 1e6
+    assert abs(est - true_n) / true_n < 0.4
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    dk = con.execute(hll.hll_distinct_estimate_sql()).fetchdf()
+    assert int(dk.estimate_micros[0]) == int(est * 1e6)
+
+
+def test_hll_merge_equals_whole_and_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark.operators import hll
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    whole = hll.hll_distinct_estimate(docs).first()
+    shards = [
+        hll.hll_registers(docs.filter(F.col("doc_id") % 4 == i))
+        for i in range(4)
+    ]
+    merged = hll.hll_shard_merge(shards).first()
+    assert tuple(merged) == tuple(whole)
+    # idempotent: merging a shard twice changes nothing (max)
+    again = hll.hll_shard_merge(shards + [shards[0]]).first()
+    assert tuple(again) == tuple(whole)
+
+
+def test_hll_registers_bounded_and_null_safe(spark):
+    from metadata_quality_stack_spark.operators import hll
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "b"), (3, "a")], "doc_id long, text string"
+    )
+    regs = hll.hll_registers(docs).collect()
+    assert 1 <= len(regs) <= hll.HLL_M
+    for r in regs:
+        assert 0 <= r.bucket < hll.HLL_M
+        assert 1 <= r.register <= 55
+
+
+def test_hll_exchange_is_register_sized(spark):
+    """The groupBy(bucket) partials bound every exchange at <= 64 rows:
+    assert the plan aggregates before the shuffle (partial_max)."""
+    from metadata_quality_stack_spark.operators import hll
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        hll.hll_registers(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max" in plan
