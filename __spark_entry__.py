@@ -25,6 +25,7 @@ from metadata_quality_stack_spark.operators import (
     bpe,
     cdc,
     classifier,
+    cms,
     contamination,
     dedup,
     dsir,
@@ -597,6 +598,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["hll_shard_merge"] = hll_shard_merge
+    # count-min frequency probe: the sketch exchange is d*w cells; the
+    # probe filters to driver-computed literal cells per term
+    q["cms_term_counts"] = lambda s, d: cms.cms_term_counts(
+        _t(s, d, "documents"), BM25_QUERY
+    )
+    # mergeable histogram quantiles of the 21-rule total score (the
+    # monitoring quantile path: bin sums merge, no global sort; observe
+    # barrier stops the scoring tree re-inlining per reference)
+    q["score_hist_quantiles"] = lambda s, d: cms.hist_quantiles(
+        _scored(s, d), "total_score", 0, 512
+    )
     # crawl-text canonicalization (C4-style whitespace/control cleanup)
     q["normalize_text"] = lambda s, d: textops.normalize_text(
         _t(s, d, "documents")
@@ -1358,6 +1370,10 @@ SELECT doc_id, source FROM (
     o["cdc_dedup_ratio"] = cdc.cdc_dedup_ratio_sql()
     o["hll_distinct_estimate"] = hll.hll_distinct_estimate_sql()
     o["hll_shard_merge"] = hll.hll_shard_merge_sql()
+    o["cms_term_counts"] = cms.cms_term_counts_sql(BM25_QUERY)
+    o["score_hist_quantiles"] = cms.hist_quantiles_sql(
+        "total_score", 0, 512, from_clause=f"({scored})"
+    )
     o["rule_ablation"] = analytics.rule_ablation_sql()
     _scored_a = sqlgen.native_scoring_sql()
     _scored_b = sqlgen.native_scoring_sql(profile="webtext_nti_native")
