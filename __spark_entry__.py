@@ -609,6 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["score_hist_quantiles"] = lambda s, d: cms.hist_quantiles(
         _scored(s, d), "total_score", 0, 512
     )
+    # per-crawl-day quality drift (keep rate / score stats by capture
+    # day — the crawler-regression monitor; integer ppm/micros)
+    q["quality_by_crawl_day"] = lambda s, d: analytics.quality_by_crawl_day(
+        _t(s, d, "documents"), SYN_WARC_TS_SQL
+    )
     # crawl-text canonicalization (C4-style whitespace/control cleanup)
     q["normalize_text"] = lambda s, d: textops.normalize_text(
         _t(s, d, "documents")
@@ -1371,6 +1376,9 @@ SELECT doc_id, source FROM (
     o["hll_distinct_estimate"] = hll.hll_distinct_estimate_sql()
     o["hll_shard_merge"] = hll.hll_shard_merge_sql()
     o["cms_term_counts"] = cms.cms_term_counts_sql(BM25_QUERY)
+    o["quality_by_crawl_day"] = analytics.quality_by_crawl_day_sql(
+        SYN_WARC_TS_SQL
+    )
     o["score_hist_quantiles"] = cms.hist_quantiles_sql(
         "total_score", 0, 512, from_clause=f"({scored})"
     )

@@ -733,3 +733,49 @@ f AS (SELECT {kb} AS kb,
 w AS (SELECT coalesce(sum(kb::BIGINT), 0)::BIGINT AS kb, {agg_cols} FROM f)
 {unions}
 """
+
+
+def quality_by_crawl_day(docs: DataFrame, ts_expr: str) -> DataFrame:
+    """Per-crawl-day quality drift — the monitoring readout that
+    catches a crawler regression (a bad extraction deploy, a spam wave)
+    by DAY before it poisons a training mix. ``ts_expr`` is a SQL
+    expression yielding capture time as epoch seconds (the job wires
+    warc_ts; gates use the synthetic deterministic timestamp).
+
+    One scan: scoring is map-only staged projections, then a single
+    bounded-key agg on the day. All-integer outputs (ppm/micros) so the
+    readout hash-matches the oracle.
+
+    Columns: day, n_docs, keep_ppm, score_avg_micros, score_min,
+    score_max."""
+    scored = scored_documents(docs).withColumn(
+        "day", F.expr(f"({ts_expr}) div 86400")
+    )
+    return scored.groupBy("day").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(CAST(keep AS BIGINT)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("keep_ppm"),
+        F.expr("sum(CAST(total_score AS BIGINT)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("score_avg_micros"),
+        F.min("total_score").cast("long").alias("score_min"),
+        F.max("total_score").cast("long").alias("score_max"),
+    )
+
+
+def quality_by_crawl_day_sql(ts_expr: str, table: str = "documents") -> str:
+    from metadata_quality_stack_spark.oracle import sqlgen
+
+    return f"""
+WITH scored AS ({sqlgen.native_scoring_sql()}),
+t AS (SELECT s.*, (({ts_expr}) // 86400) AS day
+      FROM scored s JOIN {table} d USING (doc_id))
+SELECT day, count(*)::BIGINT AS n_docs,
+  (sum(keep::BIGINT) * 1000000 // count(*))::BIGINT AS keep_ppm,
+  (sum(total_score::BIGINT) * 1000000 // count(*))::BIGINT
+    AS score_avg_micros,
+  min(total_score)::BIGINT AS score_min,
+  max(total_score)::BIGINT AS score_max
+FROM t GROUP BY day
+"""

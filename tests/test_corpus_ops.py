@@ -463,3 +463,15 @@ def test_length_outlier_trim_cuts_tails(spark):
     assert got[2000]                              # n=1 group keeps its doc
     kept = sum(1 for v in got.values() if v)
     assert kept >= 198                            # ~2% trimmed at most
+
+
+def test_quality_by_crawl_day_partitions_corpus(spark):
+    from metadata_quality_stack_spark.operators import analytics
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ts = "1717200000 + (doc_id % 13) * 86400 + (doc_id % 7) * 3600"
+    out = analytics.quality_by_crawl_day(docs, ts).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r.keep_ppm <= 1_000_000
+        assert r.score_min <= r.score_avg_micros / 1e6 <= r.score_max
