@@ -498,6 +498,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_tokenized_docs"] = lambda s, d: bpe.bpe_tokenized_docs(
         _t(s, d, "documents")
     )
+    # id-assigned subword vocabulary (frequency-ranked ids — the table
+    # a trained tokenizer ships)
+    q["bpe_vocab_ids"] = lambda s, d: bpe.bpe_vocab_ids(
+        _t(s, d, "documents")
+    )
+    # documents as token-id sequences — the terminal training-loader
+    # artifact; ids re-assembled in (word_pos, piece_pos) order
+    q["bpe_encode_docs"] = lambda s, d: bpe.bpe_encode_docs(
+        _t(s, d, "documents")
+    )
     # domain link-graph degree readout (synthetic deterministic edges
     # over observed domains; operators/graph.py)
     q["domain_link_stats"] = lambda s, d: graph.domain_link_stats(
@@ -1369,6 +1379,8 @@ SELECT doc_id, source FROM (
     o["bpe_fertility_by_lang"] = textops.bpe_fertility_by_lang_sql()
     o["bpe_learned_merges"] = bpe.bpe_learned_merges_sql()
     o["bpe_tokenized_docs"] = bpe.bpe_tokenized_docs_sql()
+    o["bpe_vocab_ids"] = bpe.bpe_vocab_ids_sql()
+    o["bpe_encode_docs"] = bpe.bpe_encode_docs_sql()
     o["domain_link_stats"] = graph.domain_link_stats_sql()
     o["domain_pagerank"] = graph.domain_pagerank_sql()
     o["cdc_chunk_stats"] = cdc.cdc_chunk_stats_sql()

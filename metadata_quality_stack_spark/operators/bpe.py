@@ -268,3 +268,150 @@ SELECT d.doc_id,
        coalesce(p.n_chars_in_words, 0) AS n_chars_in_words
 FROM {table} d LEFT JOIN per p USING (doc_id)
 """
+
+
+def bpe_vocab_ids(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """The id-assigned subword vocabulary: (piece, token_id, n_words_using,
+    total_occurrences). Ids are frequency-ranked (total occurrences desc,
+    piece asc — deterministic both engines), the layout every trained
+    tokenizer ships. Pieces come from the merged segmentations; their
+    corpus frequency = sum over words of (occurrences in word) * word
+    count."""
+    from pyspark.sql import Window
+
+    merges = train_merges(docs, n_merges, text_col)
+    seg = segment_vocab(docs, merges, text_col)
+    pieces = (
+        seg.select("cnt", F.explode(F.split("seq", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.count("*").alias("n_words_using"),
+            F.sum("cnt").alias("total_occurrences"),
+        )
+    )
+    w = Window.orderBy(F.desc("total_occurrences"), F.asc("piece"))
+    return pieces.select(
+        "piece",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        F.col("n_words_using").cast("long").alias("n_words_using"),
+        F.col("total_occurrences").cast("long").alias("total_occurrences"),
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Documents as token-id sequences — the terminal artifact of the
+    data pipeline (what the training loader reads): (doc_id, n_tokens,
+    token_ids) with token_ids a space-joined id string (dialect-stable
+    serialization for the gate; parquet would store the int array).
+
+    Plan: tokenize the corpus once, join each word to its segmentation
+    (broadcast at gate scale), explode pieces POSITIONALLY, join the id
+    table (broadcast — it IS the vocab), then re-assemble per doc in
+    (word_pos, piece_pos) order. The only corpus-sized exchange carries
+    (doc_id, positions, id) ints."""
+    merges = train_merges(docs, n_merges, text_col)
+    seg = segment_vocab(docs, merges, text_col).select("word", "seq")
+    ids = bpe_vocab_ids(docs, n_merges, text_col).select("piece", "token_id")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), 0)
+        ).alias("word_pos", "word"),
+    )
+    pieces = (
+        tok.join(F.broadcast(seg), "word")
+        .select(
+            "doc_id",
+            "word_pos",
+            F.posexplode(F.split("seq", " ")).alias("piece_pos", "piece"),
+        )
+        .join(F.broadcast(ids), "piece")
+    )
+    per = pieces.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("word_pos", "piece_pos", "token_id")
+                    )
+                ),
+                lambda s: s["token_id"].cast("string"),
+            ),
+            " ",
+        ).alias("token_ids"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("token_ids", F.lit("")).alias("token_ids"),
+        )
+    )
+
+
+def bpe_vocab_ids_sql(
+    n_merges: int = BPE_N_MERGES, table: str = "documents", text_col: str = "text"
+) -> str:
+    ctes, final = _train_ctes(n_merges, table, text_col)
+    return f"""WITH {ctes},
+pieces AS (
+  SELECT piece, count(*)::BIGINT AS n_words_using,
+         sum(cnt)::BIGINT AS total_occurrences
+  FROM (SELECT cnt, unnest(string_split(seq, ' ')) AS piece FROM {final})
+  GROUP BY piece)
+SELECT piece,
+  (row_number() OVER (ORDER BY total_occurrences DESC, piece ASC) - 1)::BIGINT
+    AS token_id,
+  n_words_using, total_occurrences
+FROM pieces
+"""
+
+
+def bpe_encode_docs_sql(
+    n_merges: int = BPE_N_MERGES, table: str = "documents", text_col: str = "text"
+) -> str:
+    ctes, final = _train_ctes(n_merges, table, text_col)
+    return f"""WITH {ctes},
+pieces AS MATERIALIZED (
+  SELECT piece, count(*)::BIGINT AS n_words_using,
+         sum(cnt)::BIGINT AS total_occurrences
+  FROM (SELECT cnt, unnest(string_split(seq, ' ')) AS piece FROM {final})
+  GROUP BY piece),
+ids AS MATERIALIZED (
+  SELECT piece,
+    (row_number() OVER (ORDER BY total_occurrences DESC, piece ASC) - 1)::BIGINT
+      AS token_id
+  FROM pieces),
+tok AS (
+  SELECT doc_id, e.word AS word, e.pos AS word_pos FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+      i -> struct_pack(pos := i - 1, word := ws[i]))) AS e
+    FROM (SELECT doc_id,
+            regexp_extract_all(lower({text_col}), '{BPE_WORD_RE}') AS ws
+          FROM {table}))),
+segp AS MATERIALIZED (
+  SELECT word, e.pos AS piece_pos, e.piece AS piece FROM (
+    SELECT word, unnest(list_transform(generate_series(1, len(ps)),
+      i -> struct_pack(pos := i - 1, piece := ps[i]))) AS e
+    FROM (SELECT word, string_split(seq, ' ') AS ps FROM {final}))),
+pc AS (
+  SELECT t.doc_id, t.word_pos, s.piece_pos, i.token_id
+  FROM tok t
+  JOIN segp s ON s.word = t.word
+  JOIN ids i ON i.piece = s.piece),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+    string_agg(token_id::VARCHAR, ' '
+               ORDER BY word_pos, piece_pos) AS token_ids
+  FROM pc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.token_ids, '') AS token_ids
+FROM {table} d LEFT JOIN per p USING (doc_id)
+"""

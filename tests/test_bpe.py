@@ -118,3 +118,47 @@ def test_training_reads_cached_census_not_corpus(spark):
         assert "FileScan" not in live
     finally:
         census.unpersist()
+
+
+def test_vocab_ids_rank_by_frequency(spark):
+    docs = _docs(spark, ["aa aa aa bb bb c"])
+    # merges exhaust quickly; pieces ranked by total occurrences
+    ids = {r.piece: r.token_id for r in bpe.bpe_vocab_ids(docs, 2).collect()}
+    counts = {
+        r.piece: r.total_occurrences
+        for r in bpe.bpe_vocab_ids(docs, 2).collect()
+    }
+    ranked = sorted(counts, key=lambda p: (-counts[p], p))
+    assert [ids[p] for p in ranked] == list(range(len(ranked)))
+
+
+def test_encode_roundtrips_through_vocab(spark):
+    docs = _docs(spark, ["hello world hello", "world"])
+    ids = {r.token_id: r.piece for r in bpe.bpe_vocab_ids(docs, 3).collect()}
+    enc = {r.doc_id: r for r in bpe.bpe_encode_docs(docs, 3).collect()}
+    # decoding doc 0's ids re-concatenates to its words in order
+    decoded = "".join(
+        ids[int(t)] for t in enc[0].token_ids.split(" ")
+    )
+    assert decoded == "helloworldhello"
+    assert enc[0].n_tokens == len(enc[0].token_ids.split(" "))
+    assert enc[1].token_ids != ""
+
+
+def test_encode_oracle_matches(spark):
+    docs = spark.read.parquet(DOCS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    sp = (
+        bpe.bpe_encode_docs(docs, 3)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dk = (
+        con.execute(bpe.bpe_encode_docs_sql(3))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sp, dk.astype(sp.dtypes.to_dict()))
