@@ -1000,6 +1000,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scoring. The oracle replays coarse assignment + PQ training +
     # encoding + the probe in one chained-CTE SQL.
     q["ivfpq_topk"] = lambda s, d: pq.ivfpq_topk(_t(s, d, "embeddings"))
+    # IVFADC with RESIDUAL encoding (the actual FAISS design): PQ
+    # trains on x - centroid(cell); distance tables become per-probed-
+    # cell; joins keyed (cell_id, code). Oracle replays everything.
+    q["ivfpq_residual_topk"] = lambda s, d: pq.ivfpq_residual_topk(
+        _t(s, d, "embeddings")
+    )
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
         _t(s, d, "embeddings")
     )
@@ -1964,6 +1970,7 @@ ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
     o["pq_topk_trained"] = pq.pq_trained_sql()
     o["pq_code_histogram"] = pq.pq_code_histogram_sql()
     o["ivfpq_topk"] = pq.ivfpq_sql()
+    o["ivfpq_residual_topk"] = pq.ivfpq_residual_sql()
     o["ann_topk_multiprobe"] = similarity.ann_topk_multiprobe_sql()
     o["ann_topk"] = f"""
 WITH wb AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),

@@ -377,6 +377,135 @@ def ivfpq_topk(
     )
 
 
+def _residual(emb: Column, cell_id: Column, cells) -> Column:
+    """emb - centroid[cell_id] as exact double subtraction — a chained
+    when over the literal coarse centroids."""
+    expr = None
+    for cid, cent in cells:
+        c = F.array(*[F.lit(float(v)) for v in cent])
+        r = F.zip_with(
+            emb, c, lambda x, y: x.cast("double") - y.cast("double")
+        )
+        expr = r if expr is None else F.when(cell_id == cid, r).otherwise(expr)
+    return expr
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    n_cells: int = IVFPQ_NCELLS,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITER,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the actual FAISS design: PQ
+    codebooks train on r = x - centroid(cell(x)), spending the 2-byte
+    budget on what's left AFTER coarse quantization. On CLUSTERED data
+    that residual variance is far smaller than the raw variance and
+    reconstruction error drops sharply (measured >5x on clustered
+    synthetic vectors, tests/test_pq.py); on the isotropic random unit
+    vectors of the gate corpus the nearest of 16 random centroids is
+    still near-orthogonal, residual variance EXCEEDS raw (measured
+    1.51 vs 1.00), and raw PQ reconstructs better — the
+    curse-of-dimensionality case both variants must survive, which is
+    why the gate keeps both. The price of residuals: the query's
+    distance tables become PER-PROBED-CELL (q - c differs per cell),
+    i.e. nprobe * M tables instead of M — still broadcast-sized. The
+    corpus-side plan is unchanged: map-only assign+encode, probe
+    prune, M broadcast joins now keyed (cell_id, code), TakeOrdered.
+
+    The oracle replays coarse assignment, residual computation, PQ
+    training ON RESIDUALS, encoding, and the per-cell tables."""
+    cells = _coarse_cells(embeddings, n_cells)
+    assigned = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _argmin_cell(F.col("embedding"), cells).alias("cell_id"),
+    )
+    res = assigned.select(
+        "vec_id",
+        "label",
+        "cell_id",
+        _residual(F.col("embedding"), F.col("cell_id"), cells).alias(
+            "embedding"
+        ),
+    )
+    books = pq_train(res.select("vec_id", "embedding"), m, dsub, ksub, n_iter)
+    spark = embeddings.sparkSession
+
+    enc = res.select(
+        "vec_id",
+        "label",
+        "cell_id",
+        *[
+            _argmin_code(_sub(F.col("embedding"), i, dsub), books[i]).alias(
+                f"code{i}"
+            )
+            for i in range(m)
+        ],
+    )
+    q_emb = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cells_df = spark.createDataFrame(
+        [(cid, cent) for cid, cent in cells], "cell_id long, ccent array<double>"
+    )
+    probe = (
+        cells_df.crossJoin(F.broadcast(q_emb))
+        .select(
+            "cell_id",
+            F.round(_sqdist(F.col("ccent"), F.col("q_emb")), 6).alias("qcd"),
+        )
+        .orderBy(F.asc("qcd"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    cb = spark.createDataFrame(
+        [
+            (i, int(code), [float(v) for v in cent])
+            for i, book in enumerate(books)
+            for code, cent in book
+        ],
+        "m int, code long, bcent array<double>",
+    )
+    # per-(cell, m, code) distance table: || (q - c)_sub_m - bcent ||^2
+    dt = cells_df.crossJoin(cb).crossJoin(F.broadcast(q_emb))
+    qres = F.zip_with(
+        F.col("q_emb"),
+        F.col("ccent"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    expr = F.round(_sqdist(_sub(qres, m - 1, dsub), F.col("bcent")), 6)
+    for i in range(m - 2, -1, -1):
+        expr = F.when(
+            F.col("m") == i,
+            F.round(_sqdist(_sub(qres, i, dsub), F.col("bcent")), 6),
+        ).otherwise(expr)
+    dt = dt.select("cell_id", "m", "code", expr.alias("qd"))
+
+    out = enc.join(F.broadcast(probe), "cell_id")
+    for i in range(m):
+        dt_i = dt.filter(F.col("m") == i).select(
+            "cell_id",
+            F.col("code").alias(f"code{i}"),
+            F.col("qd").alias(f"qd{i}"),
+        )
+        out = out.join(F.broadcast(dt_i), ["cell_id", f"code{i}"])
+    adc = F.col("qd0")
+    for i in range(1, m):
+        adc = adc + F.col(f"qd{i}")
+    return (
+        out.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 # ----------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ----------------------------------------------------------------------
@@ -394,17 +523,23 @@ def _sqdist_sql(a: str, b: str, dsub: int = PQ_DSUB) -> str:
 
 
 def _train_ctes(
-    m: int = PQ_M, dsub: int = PQ_DSUB, ksub: int = PQ_KSUB, n_iter: int = PQ_ITER
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITER,
+    table: str = "embeddings",
 ) -> tuple[str, str]:
-    """Shared CTE chain replaying pq_train: returns (ctes, final_cb).
-    sub_e materializes the (vec_id, m, sub) tall view once; cb0 is the
-    seed; each round is an argmin window + a grouped component-mean."""
+    """Shared CTE chain replaying pq_train over ``table`` (must expose
+    vec_id + embedding; the residual variant passes its res CTE):
+    returns (ctes, final_cb). sub_e materializes the (vec_id, m, sub)
+    tall view once; cb0 is the seed; each round is an argmin window +
+    a grouped component-mean."""
     ms = ", ".join(f"({i})" for i in range(m))
     sub_expr = f"list_transform(generate_series(1, {dsub}), i -> embedding[ms.m * {dsub} + i])"
     parts = [
         f"ms AS (SELECT * FROM (VALUES {ms}) AS t(m))",
         f"sub_e AS (SELECT vec_id, ms.m AS m, {sub_expr} AS sub "
-        f"FROM embeddings CROSS JOIN ms)",
+        f"FROM {table} CROSS JOIN ms)",
         f"cb0 AS (SELECT m, vec_id AS code, sub AS cent FROM sub_e "
         f"WHERE vec_id < {ksub})",
     ]
@@ -538,6 +673,85 @@ probe AS (
 qsub AS (SELECT m, sub FROM sub_e WHERE vec_id = {query_vec_id}),
 dt AS (SELECT c.m, c.code, round({qdist}, 6) AS qd
        FROM {final_cb} c JOIN qsub s USING (m)),
+wide AS (SELECT vec_id, {wide} FROM enc GROUP BY vec_id),
+scored AS (
+  SELECT w.vec_id, round({adc}, 6) AS adc_dist
+  FROM wide w
+  JOIN assign a ON a.vec_id = w.vec_id
+  JOIN probe p ON p.cell_id = a.cell_id
+  {joins}
+  WHERE w.vec_id <> {query_vec_id})
+SELECT s.vec_id, e.label, s.adc_dist
+FROM scored s JOIN embeddings e USING (vec_id)
+ORDER BY s.adc_dist ASC, s.vec_id ASC LIMIT {k}
+"""
+
+
+def ivfpq_residual_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    n_cells: int = IVFPQ_NCELLS,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITER,
+) -> str:
+    """Full replay of :func:`ivfpq_residual_topk`: coarse assignment,
+    residuals, PQ training over the res CTE, encoding, per-probed-cell
+    distance tables keyed (cell_id, m, code)."""
+    full = m * dsub
+    cdist = _sqdist_sql("e.embedding", "c.cent", full)
+    qcdist = _sqdist_sql("c.cent", "q.q_emb", full)
+    ctes, final_cb = _train_ctes(m, dsub, ksub, n_iter, table="res")
+    # per-cell query-residual subvector distance to a book centroid:
+    # ((q_i - c_i) - b_i)^2, left fold with a 0.0 seed
+    term = (
+        f"(CAST(q.q_emb[b.m * {dsub} + i] AS DOUBLE)"
+        f" - CAST(c.cent[b.m * {dsub} + i] AS DOUBLE)"
+        f" - CAST(b.cent[i] AS DOUBLE))"
+    )
+    qd = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        f"i -> {term} * {term}), (x, y) -> x + y)"
+    )
+    wide = ", ".join(
+        f"max(CASE WHEN m = {i} THEN code END) AS code{i}" for i in range(m)
+    )
+    joins = "\n".join(
+        f"JOIN dt d{i} ON d{i}.cell_id = a.cell_id AND d{i}.m = {i} "
+        f"AND d{i}.code = w.code{i}"
+        for i in range(m)
+    )
+    adc = " + ".join(f"d{i}.qd" for i in range(m))
+    return f"""WITH cells AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings
+  WHERE vec_id < {n_cells}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({cdist}, 6) ASC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cells c) WHERE rn = 1),
+res AS MATERIALIZED (
+  SELECT e.vec_id, list_transform(generate_series(1, {full}),
+    i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+    AS embedding
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cells c ON c.cell_id = a.cell_id),
+{ctes},
+{_final_enc_cte(final_cb, dsub)},
+qv AS (SELECT embedding AS q_emb FROM embeddings
+       WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id, round({qcdist}, 6) AS qcd
+    FROM cells c CROSS JOIN qv q)
+  ORDER BY qcd ASC, cell_id ASC LIMIT {nprobe}),
+dt AS MATERIALIZED (
+  SELECT c.cell_id, b.m, b.code, round({qd}, 6) AS qd
+  FROM cells c CROSS JOIN {final_cb} b CROSS JOIN qv q),
 wide AS (SELECT vec_id, {wide} FROM enc GROUP BY vec_id),
 scored AS (
   SELECT w.vec_id, round({adc}, 6) AS adc_dist
