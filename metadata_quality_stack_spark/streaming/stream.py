@@ -201,3 +201,33 @@ def stream_ingest_with_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll_registers(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming distinct-text cardinality: the HLL register table
+    (operators/hll.py) maintained as a streaming aggregation. State is
+    EXACTLY 64 single-byte registers — the smallest stateful query in
+    the repo — and because merge is an idempotent max, replayed or
+    duplicated micro-batch rows can only leave the sketch unchanged.
+    Complete-mode sink; a batch sketch over the same files must equal
+    the streamed one (tested), which is the mergeability property that
+    lets a monitoring job track corpus cardinality forever without
+    growing state."""
+    from metadata_quality_stack_spark.operators.hll import HLL_M, _MAX_RANK
+    from metadata_quality_stack_spark.operators.sketches import _h60
+
+    pages = read_pages_stream(spark, input_dir)
+    h = _h60(F.col("text"))
+    w = F.expr("_h div 64")
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rank = F.when(w == 0, F.lit(_MAX_RANK)).otherwise(F.lit(_MAX_RANK) - bitlen)
+    return (
+        pages.filter(F.col("text").isNotNull())
+        .select(h.alias("_h"))
+        .select(
+            (F.col("_h") % HLL_M).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )

@@ -255,3 +255,44 @@ def test_stream_ingest_with_index_bloom_variant(spark, tmp_path):
     assert got.count() == 13  # 10 originals + 3 new; 5 cross-run dups dropped
     assert got.select("text").distinct().count() == 13
     assert di.read_bloom(spark, idx) is not None
+
+
+def test_stream_hll_equals_batch_sketch(spark, tmp_path):
+    """The streamed register table must equal the batch sketch over the
+    same files — max-merge makes micro-batching invisible."""
+    import pandas as pd
+
+    from metadata_quality_stack_spark.operators import hll
+    from metadata_quality_stack_spark.sources.pages import generate_pages
+    from metadata_quality_stack_spark.streaming.stream import (
+        stream_hll_registers,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    pdf = generate_pages(200, seed=11).drop(columns=["row_class"])
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(pages_dir)
+
+    agg = stream_hll_registers(spark, pages_dir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM hll_stream")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want = (
+        hll.hll_registers(spark.read.parquet(pages_dir))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
