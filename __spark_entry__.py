@@ -738,6 +738,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "tox_count", "detoxed_text")
 
     q["scrub_toxicity"] = scrub_toxicity
+
+    # k-anonymity rare-token suppression (min_df tuned to the synthetic
+    # corpus's tiny template vocab so the replacement path really fires)
+    def rare_token_scrub(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.functions.scrub import (
+            rare_token_scrub as _rts,
+        )
+
+        return _rts(_t(s, d, "documents"), min_df=380)
+
+    q["rare_token_scrub"] = rare_token_scrub
     q["length_quality_ramp"] = lambda s, d: textops.length_quality_ramp(
         _t(s, d, "documents")
     )
@@ -1500,6 +1511,11 @@ FROM f
         f"{tox['detoxed_text']} AS detoxed_text "
         "FROM documents"
     )
+    from metadata_quality_stack_spark.functions.scrub import (
+        rare_token_scrub_sql,
+    )
+
+    o["rare_token_scrub"] = rare_token_scrub_sql(min_df=380)
 
     lows_sql = (
         "list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), "

@@ -126,3 +126,102 @@ def scrub_sql_exprs(text: str = "text") -> dict[str, str]:
         out[f"scrub_{k}_count"] for k in config.SCRUB_ORDER
     )
     return out
+
+
+RARE_MIN_DF = 2
+RARE_UNK = "<unk>"
+
+
+def rare_token_scrub(
+    docs: DataFrame, min_df: int = RARE_MIN_DF, text_col: str = "text"
+) -> DataFrame:
+    """k-anonymity-style rare-token suppression: any whitespace token
+    whose corpus DOCUMENT frequency is below ``min_df`` is replaced by
+    ``<unk>`` — the memorization-risk complement of the regex PII scrub
+    (names, ids, and addresses that appear in one document are exactly
+    the strings a model should never be able to regurgitate, and no
+    regex list enumerates them; a frequency floor catches them all).
+
+    Plan shape: tokenize once with positions, ONE token-keyed shuffle
+    join against the (token, df) census — the census is vocab-sized and
+    the join payload is (doc_id, pos, token) rows; rebuild per doc by
+    position. Whitespace is normalized to single spaces in the output
+    (documented; the census and replacement see every original token).
+    Case-sensitive by design: 'Smith' and 'smith' are different
+    memorization risks.
+
+    Columns: doc_id, scrubbed_text, n_tokens, n_scrubbed."""
+    from metadata_quality_stack_spark.functions.text import token_array
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(token_array(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "pos", "token"
+        ),
+    )
+    census = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    out_tok = tok.join(census, "token").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("df") < min_df, F.lit(RARE_UNK))
+        .otherwise(F.col("token"))
+        .alias("out"),
+        (F.col("df") < min_df).cast("int").alias("scrubbed"),
+    )
+    per = out_tok.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "out"))),
+                lambda s: s["out"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("scrubbed").cast("long").alias("n_scrubbed"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_scrubbed", F.lit(0)).alias("n_scrubbed"),
+        )
+    )
+
+
+def rare_token_scrub_sql(
+    min_df: int = RARE_MIN_DF, table: str = "documents", text_col: str = "text"
+) -> str:
+    from metadata_quality_stack_spark.operators.textops import _lows_sql
+
+    # same tokenization as token_array, but preserving case: split the
+    # edge-trimmed text on whitespace runs
+    toks = (
+        f"CASE WHEN trim(coalesce({text_col}, ''), ' ' || chr(9) || chr(10) "
+        f"|| chr(13)) = '' THEN []::VARCHAR[] ELSE "
+        f"regexp_split_to_array(trim(coalesce({text_col}, ''), ' ' || chr(9) "
+        f"|| chr(10) || chr(13)), '[ \\t\\n\\r]+') END"
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, e.pos AS pos, e.token AS token FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+      i -> struct_pack(pos := i - 1, token := ts[i]))) AS e
+    FROM (SELECT doc_id, {toks} AS ts FROM {table}))),
+census AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+per AS (
+  SELECT t.doc_id,
+    string_agg(CASE WHEN c.df < {min_df} THEN '{RARE_UNK}' ELSE t.token END,
+               ' ' ORDER BY t.pos) AS scrubbed_text,
+    count(*)::BIGINT AS n_tokens,
+    sum((c.df < {min_df})::INT)::BIGINT AS n_scrubbed
+  FROM tok t JOIN census c USING (token) GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(p.scrubbed_text, '') AS scrubbed_text,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_scrubbed, 0) AS n_scrubbed
+FROM {table} d LEFT JOIN per p USING (doc_id)
+"""

@@ -155,3 +155,66 @@ def test_pipeline_toxicity_flag(spark, pages_df=None):
         )
         assert t["tox_count"][i] == exp_n
         assert t["scrubbed_text"][i] == exp_text
+
+
+# ------------------------------------------------- rare-token scrub
+def test_rare_token_scrub_suppresses_hapaxes(spark):
+    from metadata_quality_stack_spark.functions.scrub import rare_token_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "call me John-Q-Public at once"),
+            (1, "call me maybe at once"),
+            (2, None),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rare_token_scrub(docs, min_df=2).collect()}
+    # 'John-Q-Public' and 'maybe' appear in ONE doc each -> suppressed;
+    # shared tokens survive
+    assert out[0].scrubbed_text == "call me <unk> at once"
+    assert out[1].scrubbed_text == "call me <unk> at once"
+    assert out[0].n_scrubbed == 1 and out[0].n_tokens == 5
+    assert out[2].scrubbed_text == "" and out[2].n_tokens == 0
+    assert out[3].scrubbed_text == ""
+
+
+def test_rare_token_scrub_case_sensitive(spark):
+    from metadata_quality_stack_spark.functions.scrub import rare_token_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "Smith says hi"), (1, "smith says hi")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.scrubbed_text for r in rare_token_scrub(docs, 2).collect()}
+    assert out[0] == "<unk> says hi" and out[1] == "<unk> says hi"
+
+
+def test_rare_token_scrub_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from metadata_quality_stack_spark.functions.scrub import (
+        rare_token_scrub,
+        rare_token_scrub_sql,
+    )
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    sp = (
+        rare_token_scrub(docs, 380)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sp.n_scrubbed.sum() > 0  # the gate threshold genuinely fires
+    dk = (
+        con.execute(rare_token_scrub_sql(380))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sp, dk.astype(sp.dtypes.to_dict()))
