@@ -415,3 +415,82 @@ SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
        coalesce(p.token_ids, '') AS token_ids
 FROM {table} d LEFT JOIN per p USING (doc_id)
 """
+
+
+def _read_merge_log(spark, log_dir: str) -> list[tuple[str, str, int]]:
+    """Logged merges in rank order; duplicate ranks (crash-retry
+    appends) collapse harmlessly because rounds are deterministic —
+    any row with a given rank carries the identical merge."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(log_dir).collect()
+    except AnalysisException:
+        return []
+    by_rank: dict[int, tuple[str, str, int]] = {}
+    for r in rows:
+        by_rank.setdefault(int(r.rank), (r.pair, r.merged, int(r.total)))
+    return [by_rank[k] for k in sorted(by_rank)]
+
+
+def train_merges_resumable(
+    docs: DataFrame,
+    log_dir: str,
+    n_merges: int = BPE_N_MERGES,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Checkpointed BPE training: each completed round appends one row
+    (rank, pair, merged, total) to a parquet log; a restarted fit
+    replays the logged merges onto the census (map-only staged
+    replaces — no pair census for finished rounds) and continues from
+    the next rank. Crash placement is safe everywhere: rounds are
+    deterministic, so a retry of an un-logged round recomputes the
+    identical merge, and a double-append of the same rank collapses on
+    read. This is the trainer-side analog of the results sink's
+    resume: at 10^7-word vocabs and thousands of merges, losing a fit
+    to a preemption costs hours — the log costs one tiny parquet
+    append per round."""
+    spark = docs.sparkSession
+    done = _read_merge_log(spark, log_dir)[:n_merges]
+    census = word_census(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    census.count()
+    try:
+        vocab = census.select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
+        for pair, merged, _ in done:
+            vocab = vocab.select(
+                "word", "cnt", _apply_merge(F.col("seq"), pair, merged).alias("seq")
+            )
+        merges = list(done)
+        while len(merges) < n_merges:
+            toks = F.split(F.col("seq"), " ")
+            n = F.size(toks)
+            grams = F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            pairs = (
+                vocab.filter(n >= 2)
+                .select("cnt", F.explode(grams).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("total"))
+                .orderBy(F.desc("total"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            pair = pairs[0]["pair"]
+            merged = pair.replace(" ", "")
+            total = int(pairs[0]["total"])
+            spark.createDataFrame(
+                [(len(merges) + 1, pair, merged, total)],
+                "rank int, pair string, merged string, total bigint",
+            ).coalesce(1).write.mode("append").parquet(log_dir)
+            merges.append((pair, merged, total))
+            vocab = vocab.select(
+                "word", "cnt", _apply_merge(F.col("seq"), pair, merged).alias("seq")
+            )
+        return merges
+    finally:
+        census.unpersist()

@@ -162,3 +162,27 @@ def test_encode_oracle_matches(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sp, dk.astype(sp.dtypes.to_dict()))
+
+
+def test_resumable_training_matches_direct(spark, tmp_path):
+    docs = spark.read.parquet(DOCS)
+    direct = bpe.train_merges(docs, 6)
+    log_dir = str(tmp_path / "merges")
+    first = bpe.train_merges_resumable(docs, log_dir, n_merges=3)
+    assert first == direct[:3]
+    resumed = bpe.train_merges_resumable(docs, log_dir, n_merges=6)
+    assert resumed == direct
+    # a fresh call over a complete log replays without training
+    again = bpe.train_merges_resumable(docs, log_dir, n_merges=6)
+    assert again == direct
+
+
+def test_resumable_survives_duplicate_rank_rows(spark, tmp_path):
+    docs = spark.read.parquet(DOCS)
+    log_dir = str(tmp_path / "merges")
+    bpe.train_merges_resumable(docs, log_dir, n_merges=2)
+    # simulate a crash-retry double append of rank 2
+    rows = spark.read.parquet(log_dir).filter("rank = 2")
+    rows.write.mode("append").parquet(log_dir)
+    resumed = bpe.train_merges_resumable(docs, log_dir, n_merges=4)
+    assert resumed == bpe.train_merges(docs, 4)
