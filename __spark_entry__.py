@@ -529,6 +529,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_dedup_ratio"] = lambda s, d: cdc.cdc_dedup_ratio(
         _t(s, d, "documents")
     )
+
+    # persistent chunk index: build -> ingest -> compact -> ingest,
+    # returning the last batch's per-doc novel-bytes readout (oracle =
+    # pure chunk-set algebra over the three corpus slices)
+    def cdc_index_cycle(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.sources import cdc_index
+
+        return cdc_index.chunk_index_cycle(s, _t(s, d, "documents"))
+
+    q["cdc_index_cycle"] = cdc_index_cycle
     # keep-flip 2x2 between the two scoring profiles (one scan, chained
     # stagings — the oracle states the naive self-join form)
     q["profile_flip_matrix"] = lambda s, d: analytics.profile_flip_matrix(
@@ -1402,6 +1412,11 @@ SELECT doc_id, source FROM (
     o["domain_pagerank"] = graph.domain_pagerank_sql()
     o["cdc_chunk_stats"] = cdc.cdc_chunk_stats_sql()
     o["cdc_dedup_ratio"] = cdc.cdc_dedup_ratio_sql()
+    from metadata_quality_stack_spark.sources.cdc_index import (
+        chunk_index_cycle_sql,
+    )
+
+    o["cdc_index_cycle"] = chunk_index_cycle_sql()
     o["hll_distinct_estimate"] = hll.hll_distinct_estimate_sql()
     o["hll_shard_merge"] = hll.hll_shard_merge_sql()
     o["cms_term_counts"] = cms.cms_term_counts_sql(BM25_QUERY)

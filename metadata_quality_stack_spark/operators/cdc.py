@@ -228,15 +228,17 @@ def chunk_table_fast(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ----------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ----------------------------------------------------------------------
-def _ends_cte(table: str, text_col: str) -> str:
-    """bounds AS (doc_id, n_chars, ends): the chunk-end list per doc."""
+def _ends_cte(table: str, text_col: str, prefix: str = "") -> str:
+    """{prefix}bounds AS (doc_id, n_chars, ends): the chunk-end list
+    per doc. ``prefix`` namespaces the CTEs so two corpora can be
+    chunked in one statement (the chunk-index cycle oracle)."""
     poly = " + ".join(
         f"ascii(t[k + {j + 1}])::BIGINT * {CDC_B ** (CDC_W - 1 - j)}"
         for j in range(CDC_W)
     )
-    return f"""src AS MATERIALIZED (
+    return f"""{prefix}src AS MATERIALIZED (
   SELECT doc_id, coalesce({text_col}, '') AS t FROM {table}),
-bounds AS MATERIALIZED (
+{prefix}bounds AS MATERIALIZED (
   SELECT doc_id, length(t) AS n_chars,
     CASE WHEN length(t) = 0 THEN []::BIGINT[]
     ELSE (
@@ -252,7 +254,7 @@ bounds AS MATERIALIZED (
                  THEN (k + {CDC_W})::BIGINT END),
           x -> x IS NOT NULL)
       ELSE []::BIGINT[] END AS cuts
-    FROM src))"""
+    FROM {prefix}src))"""
 
 
 def cdc_chunk_stats_sql(table: str = "documents", text_col: str = "text") -> str:
@@ -267,12 +269,7 @@ FROM bounds
 
 def cdc_dedup_ratio_sql(table: str = "documents", text_col: str = "text") -> str:
     return f"""WITH {_ends_cte(table, text_col)},
-chunks AS MATERIALIZED (
-  SELECT md5(c) AS h, length(c)::BIGINT AS len FROM (
-    SELECT unnest(list_transform(generate_series(1, len(b.ends)),
-      i -> s.t[(CASE WHEN i = 1 THEN 0 ELSE b.ends[i - 1] END + 1)::INT
-               : b.ends[i]::INT])) AS c
-    FROM bounds b JOIN src s USING (doc_id))),
+{_chunks_cte()},
 census AS (SELECT h, len, count(*) AS cnt FROM chunks GROUP BY h, len)
 SELECT sum(cnt)::BIGINT AS total_chunks,
   count(*)::BIGINT AS distinct_chunks,
@@ -283,3 +280,13 @@ SELECT sum(cnt)::BIGINT AS total_chunks,
      // greatest(sum(cnt * len)::BIGINT, 1)) AS dup_bytes_ppm
 FROM census
 """
+
+
+def _chunks_cte(prefix: str = "") -> str:
+    """{prefix}chunks AS (doc_id, h, len) — follows _ends_cte(prefix)."""
+    return f"""{prefix}chunks AS MATERIALIZED (
+  SELECT doc_id, md5(c) AS h, length(c)::BIGINT AS len FROM (
+    SELECT b.doc_id, unnest(list_transform(generate_series(1, len(b.ends)),
+      i -> s.t[(CASE WHEN i = 1 THEN 0 ELSE b.ends[i - 1] END + 1)::INT
+               : b.ends[i]::INT])) AS c
+    FROM {prefix}bounds b JOIN {prefix}src s USING (doc_id)))"""

@@ -130,3 +130,54 @@ def test_stats_path_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------- chunk index
+def test_chunk_index_novelty_semantics(spark, tmp_path):
+    from metadata_quality_stack_spark.sources import cdc_index
+
+    boiler = "shared boilerplate block repeated verbatim everywhere " * 8
+    base = _docs(spark, [boiler + "original tail"])
+    d = str(tmp_path / "idx")
+    cdc_index.build_chunk_index(base, d)
+    batch = spark.createDataFrame(
+        [(10, boiler + "completely new ending text here"), (11, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in cdc_index.novel_bytes_batch(spark, batch, d).collect()
+    }
+    # the boilerplate chunks are known; only the edited tail is novel
+    assert 0 < out[10].novel_ppm < 500_000
+    assert out[11].total_bytes == 0 and out[11].novel_ppm == 0
+    # re-ingesting the same doc: now nothing is novel
+    again = cdc_index.novel_bytes_batch(
+        spark, batch.filter("doc_id = 10"), d
+    ).first()
+    assert again.novel_bytes == 0
+
+
+def test_chunk_index_cycle_oracle(spark):
+    import duckdb
+
+    from metadata_quality_stack_spark.sources import cdc_index
+
+    docs = spark.read.parquet(DOCS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    sp = (
+        cdc_index.chunk_index_cycle(spark, docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    dk = (
+        con.execute(cdc_index.chunk_index_cycle_sql())
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(sp, dk)
