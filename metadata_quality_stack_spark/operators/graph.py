@@ -119,11 +119,57 @@ def domain_link_stats(docs: DataFrame) -> DataFrame:
 
 
 def domain_pagerank(docs: DataFrame, n_iter: int = PR_ITER) -> DataFrame:
-    """K power-iteration rounds in integer micros: (node, rank_micro).
-    Pure dataflow — no driver state; ranks stay distributed."""
-    nodes = domain_nodes(docs).select("node")
+    """K power-iteration rounds in integer micros over the synthetic
+    deterministic edges: (node, rank_micro). Pure dataflow — no driver
+    state; ranks stay distributed."""
+    return _power_iterate(domain_nodes(docs).select("node"), domain_edges(docs), n_iter)
+
+
+def page_link_edges(pages: DataFrame) -> DataFrame:
+    """(src, dst, w) domain edges from REAL page bytes: decode html,
+    parse nav hrefs (sources/pages.py:extract_links_column), canonical
+    host on both sides. One scan + one (src, dst) count — link payloads
+    never leave the scan stage."""
+    from metadata_quality_stack_spark.operators.urlops import (
+        domain_of,
+        normalize_url,
+    )
+    from metadata_quality_stack_spark.sources.pages import (
+        extract_links_column,
+    )
+
+    return (
+        pages.select(
+            domain_of(normalize_url(F.col("url"))).alias("src"),
+            F.explode(extract_links_column(F.col("html"))).alias("href"),
+        )
+        .select("src", domain_of(normalize_url(F.col("href"))).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def pagerank_from_pages(pages: DataFrame, n_iter: int = PR_ITER) -> DataFrame:
+    """PageRank over the REAL extracted link graph. Nodes = every
+    domain seen as a source or target; targets that never link out are
+    DANGLING — their rank mass leaks each round (raw power iteration;
+    the classic fix redistributes dangling mass, one extra 1-row agg,
+    omitted here for cross-engine simplicity and documented)."""
+    edges = page_link_edges(pages)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return _power_iterate(nodes, edges, n_iter)
+
+
+def _power_iterate(
+    nodes: DataFrame, edges: DataFrame, n_iter: int = PR_ITER
+) -> DataFrame:
+    """Shared integer-micro power iteration: (node, rank_micro)."""
     n = nodes.agg(F.count("*").alias("n"))
-    edges = domain_edges(docs)
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
     base = F.expr(f"({100 - PR_DAMP_NUM} * {PR_M}) div ({PR_DAMP_DEN} * n)")
     ranks = nodes.crossJoin(F.broadcast(n)).select(

@@ -39,10 +39,15 @@ VOCAB = {lang: SEED_TEXT[lang].split() for lang in SEED_TEXT}
 BASE_TS = dt.datetime(2024, 3, 1, 0, 0, 0)
 
 
-def render_html(text: str) -> bytes:
-    """Fixed template; newline -> <br/>, entities escaped. Invertible."""
+def render_html(text: str, links: tuple[str, ...] = ()) -> bytes:
+    """Fixed template; newline -> <br/>, entities escaped. Invertible:
+    the optional outlink nav sits OUTSIDE <main>, so text extraction
+    (which slices on the main element) is unaffected byte-for-byte."""
     body = html_mod.escape(text, quote=False).replace("\n", "<br/>")
-    return (HTML_PREFIX + body + HTML_SUFFIX).encode("utf-8")
+    nav = ""
+    if links:
+        nav = "<nav>" + "".join(f'<a href="{u}">l</a>' for u in links) + "</nav>"
+    return (HTML_PREFIX.replace("<main>", nav + "<main>") + body + HTML_SUFFIX).encode("utf-8")
 
 
 def extract_text(html_bytes: bytes) -> str:
@@ -181,11 +186,19 @@ def generate_pages(n_rows: int = 400, seed: int = 7) -> pd.DataFrame:
         domain = DOMAINS[int(rng.choice(len(DOMAINS), p=DOMAIN_WEIGHTS))]
         url = f"https://{domain}/p/{i:06d}"
         ts = BASE_TS + dt.timedelta(minutes=int(i % (4 * 1440)))
+        # deterministic outlinks to other domains (Zipf-weighted, like
+        # real web linking) — rendered into the html nav, OUTSIDE main
+        n_links = int(rng.randint(1, 4))
+        links = tuple(
+            f"https://{DOMAINS[int(rng.choice(len(DOMAINS), p=DOMAIN_WEIGHTS))]}"
+            f"/p/{int(rng.randint(0, max(n_rows, 1))):06d}"
+            for _ in range(n_links)
+        )
         rows.append(
             {
                 "url": url,
                 "warc_ts": ts,
-                "html": render_html(text),
+                "html": render_html(text, links),
                 "text": text,
                 "lang": lang,
                 "row_class": cls,
@@ -242,3 +255,19 @@ def read_pages_jsonl(spark, path: str):
         "_corrupt_record"
     )
     return good, quarantined
+
+
+def extract_links_column(html_col):
+    """Outlink hrefs from the nav block — the native href parse that
+    feeds the domain graph on real page bytes (operators/graph.py).
+    Empty array when the page has no nav. Codegen regexp over the
+    decoded html; anchors inside <main> never match because '<' is
+    escaped there (same invariant extract_text_column relies on)."""
+    from pyspark.sql import functions as F
+
+    s = F.decode(html_col, "UTF-8")
+    nav = F.substring_index(F.substring_index(s, "</nav>", 1), "<nav>", -1)
+    has_nav = F.contains(s, F.lit("<nav>"))
+    return F.when(
+        has_nav, F.regexp_extract_all(nav, F.lit('href="([^"]+)"'), 1)
+    ).otherwise(F.array().cast("array<string>"))

@@ -87,3 +87,54 @@ def test_edge_build_broadcasts_node_dim(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------ real-link pagerank
+def test_page_link_edges_extracts_real_hrefs(spark):
+    from metadata_quality_stack_spark.sources.pages import (
+        extract_links_column,
+        generate_pages,
+        render_html,
+    )
+
+    pdf = generate_pages(120, seed=3).drop(columns=["row_class"])
+    pages = spark.createDataFrame(pdf)
+    # extraction parity: Spark href parse == generator's link lists
+    total_links = pages.select(
+        F.explode(extract_links_column(F.col("html")))
+    ).count()
+    assert 120 <= total_links <= 3 * 120
+    edges = graph.page_link_edges(pages)
+    assert edges.agg(F.sum("w")).first()[0] == total_links
+    # a no-nav page yields no links (backward-compat template)
+    bare = spark.createDataFrame(
+        [(render_html("just text"),)], "html binary"
+    )
+    assert bare.select(
+        F.explode_outer(extract_links_column(F.col("html")))
+    ).first()[0] is None
+
+
+def test_extract_text_unaffected_by_nav(spark):
+    from metadata_quality_stack_spark.sources.pages import (
+        extract_text,
+        extract_text_column,
+        render_html,
+    )
+
+    text = "line one\nline <two> & three"
+    with_links = render_html(text, ("https://a.example/x", "https://b.example/y"))
+    assert extract_text(with_links) == text
+    df = spark.createDataFrame([(with_links,)], "html binary")
+    assert df.select(extract_text_column(F.col("html"))).first()[0] == text
+
+
+def test_pagerank_from_pages_runs_and_conserves_order(spark):
+    from metadata_quality_stack_spark.sources.pages import generate_pages
+
+    pdf = generate_pages(300, seed=5).drop(columns=["row_class"])
+    pages = spark.createDataFrame(pdf)
+    ranks = {r.node: r.rank_micro for r in graph.pagerank_from_pages(pages).collect()}
+    assert len(ranks) >= 2
+    # the Zipf head domain receives the most links -> highest rank
+    assert max(ranks, key=ranks.get) == "big.example.com"
