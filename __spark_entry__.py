@@ -1098,6 +1098,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["suppliers_by_region"] = suppliers_by_region
+
+    def tpch_q3(s: SparkSession, d: str) -> DataFrame:
+        """TPC-H Q3 shipping-priority: 3-table join, grouped revenue,
+        top-10. Plan shape for scale: customer(segment-filtered) joins
+        orders on custkey, the result joins lineitem on orderkey — both
+        are key-partitioned shuffle joins (customer is NOT broadcast:
+        at full scale it is a fact-sized table; AQE may still elect a
+        broadcast at small SF, which is exactly the runtime re-plan we
+        want). Dates use this corpus's 1995-2001 synthetic range."""
+        c = _t(s, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(s, d, "orders").filter(
+            F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+        )
+        li = _t(s, d, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    q["tpch_q3"] = tpch_q3
+
+    def tpch_q5(s: SparkSession, d: str) -> DataFrame:
+        """TPC-H Q5 local-supplier volume: 6-table join with the
+        c_nationkey = s_nationkey co-location condition. Scale shape:
+        lineitem⨝orders and ⨝customer shuffle on their keys; supplier
+        is left un-hinted (borderline at scale — AQE decides);
+        nation/region are broadcast (bounded dims). The region filter
+        reaches the scan through the broadcast join's runtime filter."""
+        c = _t(s, d, "customer")
+        o = _t(s, d, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        li = _t(s, d, "lineitem")
+        su = _t(s, d, "supplier")
+        n = _t(s, d, "nation")
+        r = _t(s, d, "region").filter(F.col("r_name") == "ASIA")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(
+                su,
+                (li.l_suppkey == su.s_suppkey)
+                & (c.c_nationkey == su.s_nationkey),
+            )
+            .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+
+    q["tpch_q5"] = tpch_q5
     return _prioritize(q)
 
 
@@ -2092,6 +2159,33 @@ GROUP BY r_name
 SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+    o["tpch_q3"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+"""
+    o["tpch_q5"] = """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 """
 

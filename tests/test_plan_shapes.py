@@ -314,3 +314,24 @@ def test_heuristic_filter_bank_not_vacuous(spark):
     assert not out[1].keep and (not out[1].lex_keep or not out[1].gopher_keep)
     assert not out[2].keep and not out[2].script_keep and out[2].c4_keep
     assert not out[3].keep and not out[3].moji_keep
+
+
+def test_tpch_multijoin_plan_shapes(spark):
+    """tpch_q3/q5 multi-join scale shape: dims nation/region broadcast;
+    the date/segment filters reach the parquet scans as PushedFilters;
+    the final agg is a partial/final hash aggregate (map-side combine),
+    not a single-stage sort-agg."""
+    import __spark_entry__ as se
+
+    q = se.queries()
+    p3 = plan_str(q["tpch_q3"](spark, SF_DIR))
+    # both fact joins survive (lineitem⨝orders, ⨝customer) …
+    assert p3.count("Join") >= 2
+    # … and the selective filters are pushed to the scans, not applied post-join
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p3
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p3
+
+    p5 = plan_str(q["tpch_q5"](spark, SF_DIR))
+    assert p5.count("BroadcastHashJoin") >= 2  # nation + region stay broadcast
+    assert "EqualTo(r_name,ASIA)" in p5
+    assert "HashAggregate" in p5
