@@ -81,6 +81,16 @@ def bloom_build(
     return bitmap
 
 
+def _bitmap_literal(bitmap: list[int]) -> Column:
+    """One array<bigint> literal in ONE gateway call. ``F.lit(list)``
+    expands to per-element ``lit`` calls — 16k py4j round-trips (~10 s
+    of pure driver overhead for a 1 Mbit filter) plus a 16k-child
+    CreateArray the analyzer walks per reference. A single ``F.expr``
+    ships the whole array as text; ConstantFolding collapses it to one
+    Literal before execution, so the per-row probe cost is identical."""
+    return F.expr("array(" + ",".join(f"{w}L" for w in bitmap) + ")")
+
+
 def bloom_probe(
     batch: DataFrame,
     bitmap: list[int],
@@ -92,7 +102,7 @@ def bloom_probe(
     with no join); positions are STAGED columns so each md5 is computed
     once per (row, hash)."""
     m_bits = len(bitmap) * 64
-    arr = F.lit(bitmap)
+    arr = _bitmap_literal(bitmap)
     key = F.col(col)
     staged = batch.select(
         "*",

@@ -244,7 +244,23 @@ class _dynamic_overwrite:
 # idempotent: the phantom rows fail the anti-join's membership test the
 # same way any maybe-dup does. Single concurrent writer assumed, like
 # the index appends themselves.
-BLOOM_M_BITS = 1 << 20  # 128 KB bitmap; ~10 bits/key at 100k keys
+BLOOM_M_BITS = 1 << 20  # sizing CAP: 128 KB bitmap; ~10 bits/key at 100k keys
+BLOOM_MIN_M_BITS = 1 << 14  # sizing floor: 2 KB
+BLOOM_BITS_PER_KEY = 12  # ~0.3% FP at k=4
+
+
+def _size_m_bits(n_keys: int) -> int:
+    """Bloom sizing discipline (module docstring of operators/bloom.py):
+    ~12 bits per key, next power of two, clamped. A FIXED m burned the
+    gate: a 1 Mbit bitmap over a 166-key index is a 16k-long literal
+    whose analysis cost dwarfs the probe it accelerates; sizing to the
+    key count keeps the literal proportional to the index, not to the
+    production ceiling."""
+    target = max(BLOOM_MIN_M_BITS, BLOOM_BITS_PER_KEY * max(n_keys, 1))
+    m = BLOOM_MIN_M_BITS
+    while m < target and m < BLOOM_M_BITS:
+        m <<= 1
+    return m
 
 
 def _bloom_dir(index_dir: str) -> str:
@@ -252,18 +268,24 @@ def _bloom_dir(index_dir: str) -> str:
 
 
 def write_bloom(spark: SparkSession, bitmap: list[int], index_dir: str) -> None:
-    rows = [(i, w) for i, w in enumerate(bitmap) if w]
-    df = spark.createDataFrame(rows or [(0, 0)], "word_idx long, bits long")
+    """Persist the bitmap with its geometry: m_bits rides along so a
+    reader never has to assume a global constant (bitmaps of different
+    ingerations may be sized differently)."""
+    m_bits = 64 * len(bitmap)
+    rows = [(i, w, m_bits) for i, w in enumerate(bitmap) if w]
+    df = spark.createDataFrame(
+        rows or [(0, 0, m_bits)], "word_idx long, bits long, m_bits long"
+    )
     df.coalesce(1).write.mode("overwrite").parquet(_bloom_dir(index_dir))
 
 
-def read_bloom(
-    spark: SparkSession, index_dir: str, m_bits: int = BLOOM_M_BITS
-) -> list[int] | None:
+def read_bloom(spark: SparkSession, index_dir: str) -> list[int] | None:
+    """Read the bitmap at its STORED geometry (m_bits column)."""
     try:
         rows = spark.read.parquet(_bloom_dir(index_dir)).collect()
     except AnalysisException:
         return None
+    m_bits = int(rows[0].m_bits) if rows else BLOOM_MIN_M_BITS
     bitmap = [0] * (m_bits // 64)
     for r in rows:
         bitmap[int(r.word_idx)] |= int(r.bits)
@@ -294,11 +316,14 @@ def ingest_batch_bloom(
     except AnalysisException:
         pass
     if bitmap is None:
-        bitmap = (
-            bloom_mod.bloom_build(idx, col="fingerprint", m_bits=BLOOM_M_BITS)
-            if idx is not None
-            else [0] * (BLOOM_M_BITS // 64)
-        )
+        # bootstrap: size m to the index's ACTUAL key count (one cheap
+        # parquet-metadata count), not the production ceiling
+        if idx is not None:
+            m = _size_m_bits(idx.count())
+            bitmap = bloom_mod.bloom_build(idx, col="fingerprint", m_bits=m)
+        else:
+            bitmap = [0] * (BLOOM_MIN_M_BITS // 64)
+    m_bits = 64 * len(bitmap)
 
     probed = bloom_mod.bloom_probe(batch_first, bitmap, col="fingerprint")
     definite_new = probed.filter(F.col("maybe_dup") == False).drop(  # noqa: E712
@@ -312,13 +337,24 @@ def ingest_batch_bloom(
     maybe_new = maybe.join(idx, "fingerprint", "left_anti") if idx is not None else maybe
     survivors = definite_new.unionByName(maybe_new).localCheckpoint(eager=True)
 
+    new_fps = survivors.select("fingerprint").filter(F.col("fingerprint").isNotNull())
+    new_bits = bloom_mod.bloom_build(new_fps, col="fingerprint", m_bits=m_bits)
+    merged = [a | b for a, b in zip(bitmap, new_bits)]
+    # saturation guard: past half-full the FP rate decays toward "route
+    # everything to the anti-join" (correct, just useless) — rebuild at
+    # doubled m from the post-append key set. Rebuilding BEFORE the
+    # append keeps the crash invariant: the new bitmap covers survivors
+    # whose fingerprints may not have landed yet (phantom bits, safe).
+    if (
+        m_bits < BLOOM_M_BITS
+        and sum(bin(w).count("1") for w in merged) > m_bits // 2
+    ):
+        all_fps = idx.union(new_fps) if idx is not None else new_fps
+        merged = bloom_mod.bloom_build(
+            all_fps, col="fingerprint", m_bits=min(4 * m_bits, BLOOM_M_BITS)
+        )
     # superset-first: merged bitmap lands BEFORE the fingerprint append
-    new_bits = bloom_mod.bloom_build(
-        survivors.select("fingerprint").filter(F.col("fingerprint").isNotNull()),
-        col="fingerprint",
-        m_bits=BLOOM_M_BITS,
-    )
-    write_bloom(spark, [a | b for a, b in zip(bitmap, new_bits)], index_dir)
+    write_bloom(spark, merged, index_dir)
     (
         _with_bucket(survivors.select("fingerprint"))
         .repartition("fp_bucket")

@@ -151,14 +151,14 @@ def test_bloom_ingest_survives_phantom_bits(spark, tmp_path):
         d,
     )
     # phantom: set the bits for 'ghost' without appending its fingerprint
+    # (at the bitmap's STORED geometry — m is sized adaptively now)
     ghost = spark.createDataFrame([(0, "ghost")], "doc_id long, text string")
     gfp = ghost.select(di.content_fingerprint().alias("fingerprint"))
+    stored = di.read_bloom(spark, d)
     phantom_bits = bloom_mod.bloom_build(
-        gfp, col="fingerprint", m_bits=di.BLOOM_M_BITS
+        gfp, col="fingerprint", m_bits=64 * len(stored)
     )
-    merged = [
-        a | b for a, b in zip(di.read_bloom(spark, d), phantom_bits)
-    ]
+    merged = [a | b for a, b in zip(stored, phantom_bits)]
     di.write_bloom(spark, merged, d)
 
     out = di.ingest_batch_bloom(
