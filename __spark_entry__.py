@@ -712,8 +712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return curation_accounting(**_curate_args(s, d))
 
+    def curation_recipe_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.plans.curate import curation_recipe
+
+        return curation_recipe(
+            docs=_t(s, d, "documents"), meta_cols=analytics.DOC_META
+        )
+
     q["curated_corpus"] = curated_corpus
     q["curation_funnel"] = curation_funnel
+    q["curation_recipe"] = curation_recipe_q
 
     # every map-only heuristic family fused onto ONE scan (zero Exchange)
     def filter_bank_q(s: SparkSession, d: str) -> DataFrame:
@@ -1837,6 +1845,47 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
     o["fuzzy_dedup_keep"] = (
         f"SELECT doc_id, (cluster = doc_id) AS keep FROM ({clusters_sql})"
     )
+    # full training-data recipe: quality keep -> exact dedup -> fuzzy
+    # dedup over the survivors -> decontaminate -> content-keyed split.
+    # Reuses the curate CTE chain (scored/kept/uniq), re-bands over the
+    # exact-dedup survivor set (rdocs), and replays the label
+    # propagation as the same recursive reachability the dedup_clusters
+    # oracle states.
+    from metadata_quality_stack_spark.operators.contamination import (
+        EVAL_MOD as _EVAL_MOD,
+    )
+
+    _recipe_bucket = "('0x' || substr(fingerprint, 1, 7))::BIGINT % 100"
+    o["curation_recipe"] = f"""{curate_cte.replace("WITH scored", "WITH RECURSIVE scored", 1)},
+rdocs AS (SELECT d.* FROM documents d JOIN uniq u USING (doc_id)),
+{bands_cte.replace("WITH sh", "sh", 1).replace("FROM documents", "FROM rdocs")},
+rpairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  AND a.doc_id < b.doc_id
+),
+redges AS (SELECT d1, d2 FROM rpairs UNION ALL SELECT d2, d1 FROM rpairs),
+rreach(doc_id, cluster) AS (
+  SELECT doc_id, doc_id FROM rdocs
+  UNION
+  SELECT e.d1, r.cluster FROM redges e JOIN rreach r ON e.d2 = r.doc_id
+),
+rlabels AS (SELECT doc_id, min(cluster) AS cluster FROM rreach GROUP BY doc_id),
+rcont AS (SELECT * FROM ({contamination.decontaminate_sql()})),
+rbad AS (SELECT doc_id FROM rcont WHERE contamination_ratio >= 0.2),
+rclean AS (
+  SELECT u.* FROM uniq u JOIN rlabels l USING (doc_id)
+  WHERE l.cluster = l.doc_id
+    AND u.doc_id NOT IN (SELECT doc_id FROM rbad)
+    AND u.doc_id % {_EVAL_MOD} <> 0
+)
+SELECT doc_id, source, lang, total_score, rating,
+  {_recipe_bucket} AS bucket,
+  CASE WHEN {_recipe_bucket} < 5 THEN 'test'
+       WHEN {_recipe_bucket} < 10 THEN 'val'
+       ELSE 'train' END AS split
+FROM rclean
+"""
     o["fuzzy_dedup_keep_best"] = f"""
 WITH labels AS ({clusters_sql}),
 scores AS (

@@ -135,6 +135,83 @@ def export_curated(
     return {"rows": sum(counts.values()), "partitions": counts, "format": fmt}
 
 
+def curation_recipe(
+    docs: DataFrame,
+    meta_cols: dict[str, str] | None = None,
+    profile: str = "webtext_native",
+    contamination_max: float = 0.2,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    max_iter: int = 15,
+) -> DataFrame:
+    """The FULL training-data recipe (FineWeb/CCNet shape) as one
+    composition — what a reference user runs end-to-end between a raw
+    crawl and a training manifest:
+
+        quality keep -> exact dedup (canonical per fingerprint)
+        -> fuzzy dedup (MinHash/LSH keep-mask over the survivors)
+        -> decontamination (eval-shingle overlap drop)
+        -> leakage-safe train/val/test split
+
+    Stage ORDER is the contract: fuzzy dedup runs on the exact-dedup
+    survivors (near-dup relations to already-dropped copies are moot),
+    decontamination drops from what dedup admitted, the split is
+    assigned last and keyed on the CONTENT fingerprint so byte-identical
+    text can never straddle splits.
+
+    Scale shape: document text never shuffles anywhere in the chain —
+    the exact stage ships ~50 B fingerprint rows (plans/curate._stages),
+    the fuzzy stage ships shingle hashes and 16 B labels
+    (operators/dedup.dedup_clusters), decontamination broadcasts the
+    eval shingle set, and the final stages are id-only joins + a map-only
+    split projection derived from the fingerprint already in hand
+    (no re-read of text for the split hash).
+
+    Columns: doc_id, source, lang, total_score, rating, bucket, split.
+    """
+    from metadata_quality_stack_spark.operators.contamination import (
+        EVAL_MOD,
+        decontaminate,
+    )
+    from metadata_quality_stack_spark.operators.dedup import fuzzy_dedup_keep
+    from metadata_quality_stack_spark.operators.sampling import SAMPLE_BUCKETS
+
+    stages = _stages(docs, meta_cols or {}, profile, None, None)
+    canon = stages["deduped"]
+    surv_docs = docs.join(canon.select("doc_id"), "doc_id", "semi")
+    fuzzy = fuzzy_dedup_keep(surv_docs, max_iter=max_iter)
+    fsurv = canon.join(fuzzy.filter(F.col("keep")).select("doc_id"), "doc_id")
+    bad = (
+        decontaminate(docs)
+        .filter(F.col("contamination_ratio") >= contamination_max)
+        .select("doc_id")
+    )
+    clean = fsurv.join(bad, "doc_id", "left_anti").filter(
+        F.col("doc_id") % EVAL_MOD != 0
+    )
+    # same bucket arithmetic as sampling._content_split, but computed
+    # from the fingerprint column (== md5(text)) the dedup stage already
+    # carries — the split costs zero additional text reads
+    b = (
+        F.conv(F.substring("fingerprint", 1, 7), 16, 10).cast("long")
+        % SAMPLE_BUCKETS
+    )
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return clean.select(
+        "doc_id",
+        "source",
+        "lang",
+        "total_score",
+        "rating",
+        b.alias("bucket"),
+        split.alias("split"),
+    )
+
+
 def curation_accounting(
     docs: DataFrame,
     meta_cols: dict[str, str] | None = None,

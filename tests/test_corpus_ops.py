@@ -475,3 +475,49 @@ def test_quality_by_crawl_day_partitions_corpus(spark):
     for r in out:
         assert 0 <= r.keep_ppm <= 1_000_000
         assert r.score_min <= r.score_avg_micros / 1e6 <= r.score_max
+
+
+def test_curation_recipe_end_to_end(spark):
+    """The full recipe (quality -> exact dedup -> fuzzy dedup ->
+    decontaminate -> split) on a corpus engineered to exercise EVERY
+    stage: a low-quality doc, exact duplicates, near-duplicates, an
+    eval doc plus a contaminated train doc, and hostile rows."""
+    from metadata_quality_stack_spark.operators.analytics import DOC_META
+    from metadata_quality_stack_spark.plans.curate import curation_recipe
+
+    prose = (
+        "The committee met on Tuesday to review the annual budget report "
+        "and most members agreed that spending should remain stable for "
+        "the next fiscal year according to the published draft figures."
+    )
+    near = prose.replace("Tuesday", "Wednesday")
+    eval_doc = (
+        "Benchmark question: what is the capital of France? The answer "
+        "is Paris, which has been the capital city for many centuries."
+    )
+    contaminated = eval_doc + " Extra trailing sentence to change the hash."
+    rows = [
+        # doc_id % 41 == 0 -> held-out eval member (excluded at the end)
+        (0, eval_doc, "en", "s0", len(eval_doc)),
+        (1, prose, "en", "s1", len(prose)),
+        (2, prose, "en", "s1", len(prose)),          # exact dup of 1
+        (3, near, "en", "s1", len(near)),            # near dup of 1
+        (4, contaminated, "en", "s2", len(contaminated)),
+        (5, "", "en", "s3", 0),                      # hostile: empty
+        (6, None, "en", "s3", 0),                    # hostile: null text
+        (7, "word " * 60, "en", "s4", 300),          # repetitive junk
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation_recipe(docs, meta_cols=DOC_META, contamination_max=0.2)
+    got = {r.doc_id: r for r in out.collect()}
+    assert 1 in got                      # canonical survivor
+    assert 2 not in got                  # exact dup dropped
+    assert 3 not in got                  # near dup dropped (LSH cluster)
+    assert 0 not in got                  # eval member excluded
+    assert 4 not in got                  # contaminated dropped
+    assert 5 not in got and 6 not in got  # hostile rows never admitted
+    for r in got.values():
+        assert r.split in ("train", "val", "test")
+        assert 0 <= r.bucket < 100
