@@ -335,3 +335,24 @@ def test_tpch_multijoin_plan_shapes(spark):
     assert p5.count("BroadcastHashJoin") >= 2  # nation + region stay broadcast
     assert "EqualTo(r_name,ASIA)" in p5
     assert "HashAggregate" in p5
+
+
+def test_curation_recipe_exchanges_are_text_free(spark):
+    """The full recipe chain (quality -> exact dedup -> fuzzy dedup ->
+    decontaminate -> split) must never put document text through an
+    Exchange: fingerprints, shingle hashes, labels, and ids shuffle;
+    text stays on the scan side. This is the 100 TB contract of the
+    composition, stated against the physical plan."""
+    import re
+
+    from metadata_quality_stack_spark.operators.analytics import DOC_META
+    from metadata_quality_stack_spark.plans.curate import curation_recipe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_str(curation_recipe(docs, meta_cols=DOC_META))
+    ex_ids = set(re.findall(r"\((\d+)\)\s+Exchange", plan))
+    assert ex_ids
+    for i in ex_ids:
+        m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
+        blk = m.group(1) if m else ""
+        assert "text#" not in blk, f"Exchange ({i}) shuffles text:\n{blk}"
