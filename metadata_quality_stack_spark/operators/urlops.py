@@ -415,9 +415,15 @@ def rescore_delta(
     need = j.filter(
         F.col("h_old").isNull() | (F.col("h_old") != F.col("h_new"))
     ).select(u, "h_new")
+    # need derives from new_pages, so need[u] and new_pages[u] resolve to
+    # the SAME attribute — Spark only rescues that self-join by detecting
+    # the trivially-true predicate and repointing one side (with a
+    # warning). Rename the probe key instead so the join condition is
+    # unambiguous by construction.
+    need_r = need.select(F.col(u).alias("_need_u"), "h_new")
     cand = new_pages.withColumn("h", h(F.col(c))).join(
-        need,
-        on=[new_pages[u] == need[u], F.col("h") == F.col("h_new")],
+        need_r,
+        on=[F.col(u) == F.col("_need_u"), F.col("h") == F.col("h_new")],
     ).select(new_pages["*"])
     pick = cand.groupBy(u).agg(F.min(i).alias(i))
     sel = cand.join(pick, [u, i])
