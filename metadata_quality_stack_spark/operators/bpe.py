@@ -291,6 +291,9 @@ def bpe_vocab_ids(
             F.sum("cnt").alias("total_occurrences"),
         )
     )
+    # unpartitioned window over the VOCAB (bounded ~10^4-10^5 pieces by
+    # construction), not the corpus — single-partition rank is the point:
+    # token ids must be a global dense order
     w = Window.orderBy(F.desc("total_occurrences"), F.asc("piece"))
     return pieces.select(
         "piece",

@@ -187,6 +187,9 @@ def hist_quantiles(
     from pyspark.sql import Window
 
     h = hist_sketch(df, col, lo, hi, bins)
+    # unpartitioned window is SAFE here: its input is the sketch itself —
+    # a fixed B-bin table, never the data — so the single-partition
+    # WindowExec touches <= B rows regardless of corpus size
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     total = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -46,7 +46,12 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio
 
 
 def domain_nodes(docs: DataFrame) -> DataFrame:
-    """(node, idx): observed domains, densely indexed by sort order."""
+    """(node, idx): observed domains, densely indexed by sort order.
+
+    The unpartitioned row_number runs over the DISTINCT domain set
+    (~10^7 hosts for a full crawl — slim strings, fits one task), not
+    the documents; a corpus-sized input would need zipWithIndex-style
+    per-partition offsets instead."""
     from pyspark.sql import Window
 
     return (
