@@ -1245,6 +1245,11 @@ _VERDICT_R3_FIRST = (
     "gopher_repetition_fast",
     "shuffle_shards",
     "corpus_token_budget",
+    # round-4 flagship additions, after the verdict-named set: the
+    # end-to-end recipe composite and the multi-join relational pair
+    "curation_recipe",
+    "tpch_q3",
+    "tpch_q5",
 )
 
 
