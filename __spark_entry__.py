@@ -579,6 +579,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["perplexity_model_scores"] = (
         lambda s, d: micro_lm.perplexity_model_scores(_t(s, d, "documents"))
     )
+
+    # corpus-TRAINED bigram LM (the trainer behind the frozen scorer):
+    # bucket-bounded count aggregates + fixed-point integer log2, the
+    # full training run and the scoring replayed exactly by the oracle
+    def ngram_lm_surprisal_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.operators import ngram_lm
+
+        return ngram_lm.ngram_lm_surprisal(_t(s, d, "documents"))
+
+    q["ngram_lm_surprisal"] = ngram_lm_surprisal_q
     # end-to-end keep/drop with the micro models in the checker slot —
     # the first FULLY oracled pipeline run (model rules included)
     q["full_pipeline_micro"] = lambda s, d: micro_lm.full_pipeline_micro(
@@ -1552,6 +1562,9 @@ FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2
     o["langid_model_scores"] = micro_lm.langid_model_scores_sql()
     o["langid_model_histogram"] = micro_lm.langid_model_histogram_sql()
     o["perplexity_model_scores"] = micro_lm.perplexity_model_scores_sql()
+    from metadata_quality_stack_spark.operators import ngram_lm as _ngram_lm
+
+    o["ngram_lm_surprisal"] = _ngram_lm.ngram_lm_surprisal_sql()
     o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
     o["ccnet_ppl_buckets"] = micro_lm.ccnet_ppl_buckets_sql()
     o["kmv_distinct_estimate"] = sketches.kmv_distinct_estimate_sql()

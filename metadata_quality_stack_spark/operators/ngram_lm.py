@@ -1,0 +1,310 @@
+"""Distributed n-gram language-model TRAINING + perplexity scoring —
+the trainer that produces what ``functions/perplexity.py`` consumes as
+frozen weights (KenLM-style hashed bigram LM; Heafield 2011 is the
+public construction, arXiv:1911.00359 the CCNet usage).
+
+Pipeline (one declarative plan; the corpus is scanned twice — once for
+the count aggregation, once for scoring — the same 2-pass shape as
+DSIR; at production scale the exploded bigram table would be persisted
+between the passes, the ``dedup_index`` pattern):
+
+    tokens -> per-token 60-bit md5 hash -> bucket (mod B)
+    -> adjacent-pair encode pc = bp*B + bc  (zip_with over slices)
+    -> bigram counts  c(bp,bc)   [<= B^2 = 65,536 keys]
+    -> context counts c(bp) = sum_bc c(bp,bc)   [<= B keys]
+    -> add-one smoothing:  P(bc|bp) = (c+1) / (c(bp)+B)
+    -> surprisal_fp = log2fp(c(bp)+B) - log2fp(c+1)   [fixed-point]
+    -> per-doc score: broadcast-join the model, integer-sum surprisal
+
+Scale shape: both count aggregates partial-combine map-side and their
+exchanges are bounded by the BUCKET space (65k + 256 rows), never the
+corpus — the IVF-centroid / DSIR-census pattern. The trained model and
+the context backoff table ride the scoring join as broadcasts. Text
+never shuffles; the per-token md5 is the same accepted price as the
+micro scorers (the cross-engine hash family).
+
+Cross-engine exactness without libm: ``log2`` is computed in FIXED
+POINT by pure int64 arithmetic — integer part from binary-string
+length (the HLL rank trick, probe-verified identical in Spark and
+DuckDB), fractional bits by the classical mantissa-squaring algorithm
+(F iterations: square the [2^S, 2^31) mantissa, renormalize, emit one
+bit). No float, no ln(), no rounding discipline — the DuckDB oracle
+replays training AND scoring bit-for-bit, including the log.
+
+Reference parity: the reference has no trainer (frozen service-side
+models); this is the beyond-reference training-data family, sibling of
+operators/classifier.py (LR trainer) and operators/bpe.py (tokenizer
+trainer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.functions.text import token_array
+from metadata_quality_stack_spark.operators.sketches import _h60_sql
+
+LM_BUCKETS = 256  # B: token-hash space; pairs encode as bp*B+bc < 2^16
+LOG2_F_BITS = 10  # fractional bits of the fixed-point log2 (~0.001)
+_S = 30  # mantissa scale: m in [2^30, 2^31) keeps m*m inside int64
+# log2fp(B) with B a power of two is exact: integer part 8, zero frac
+_UNSEEN_CTX_FP = (LM_BUCKETS.bit_length() - 1) << LOG2_F_BITS
+
+
+# ----------------------------------------------------------------- log2fp
+def _log2fp_spark(df: DataFrame, xcol: str, out: str) -> DataFrame:
+    """Append ``out`` = log2(xcol) in Q{LOG2_F_BITS} fixed point.
+    Pure int64 staged columns; safe for 1 <= x < 2^62. Runs on model-
+    sized tables (<= B^2 rows), never the corpus."""
+    p = f"_{out}"
+    df = df.withColumn(
+        f"{p}_i",
+        (F.length(F.conv(F.col(xcol).cast("string"), 10, 2)) - 1).cast("long"),
+    )
+    mant = "CASE " + " ".join(
+        f"WHEN {p}_i = {k} THEN {xcol} * {1 << (_S - k)}L"
+        if k <= _S
+        else f"WHEN {p}_i = {k} THEN {xcol} div {1 << (k - _S)}L"
+        for k in range(62)
+    ) + " END"
+    df = df.withColumn(f"{p}_m0", F.expr(mant).cast("long"))
+    for t in range(LOG2_F_BITS):
+        df = df.withColumn(
+            f"{p}_t{t}", F.expr(f"({p}_m{t} * {p}_m{t}) div {1 << _S}")
+        )
+        df = df.withColumn(
+            f"{p}_b{t}",
+            F.expr(f"CASE WHEN {p}_t{t} >= {1 << (_S + 1)} THEN 1 ELSE 0 END"),
+        )
+        df = df.withColumn(
+            f"{p}_m{t + 1}",
+            F.expr(
+                f"CASE WHEN {p}_b{t} = 1 THEN {p}_t{t} div 2 ELSE {p}_t{t} END"
+            ),
+        )
+    acc = " + ".join(
+        f"{p}_b{t} * {1 << (LOG2_F_BITS - 1 - t)}" for t in range(LOG2_F_BITS)
+    )
+    df = df.withColumn(
+        out, F.expr(f"{p}_i * {1 << LOG2_F_BITS} + ({acc})").cast("long")
+    )
+    return df.drop(
+        f"{p}_i",
+        *[f"{p}_m{t}" for t in range(LOG2_F_BITS + 1)],
+        *[f"{p}_t{t}" for t in range(LOG2_F_BITS)],
+        *[f"{p}_b{t}" for t in range(LOG2_F_BITS)],
+    )
+
+
+def _log2fp_sql_ctes(src: str, xcol: str, out: str, cols: str) -> str:
+    """Chained-CTE DuckDB twin of :func:`_log2fp_spark`: consumes CTE
+    ``src`` (which must expose ``xcol`` and ``cols``), emits CTE
+    ``{out}_done`` with ``cols`` + ``out``. Same arithmetic, dialect
+    differences only (bin() for bitlen, // for integer div)."""
+    p = out
+    mant = "CASE " + " ".join(
+        f"WHEN i_ = {k} THEN {xcol} * {1 << (_S - k)}"
+        if k <= _S
+        else f"WHEN i_ = {k} THEN {xcol} // {1 << (k - _S)}"
+        for k in range(62)
+    ) + " END"
+    steps = [
+        f"{p}_s0 AS (SELECT {cols}, {xcol},"
+        f" (length(bin({xcol})) - 1)::BIGINT AS i_,"
+        f" 0::BIGINT AS acc_ FROM {src})",
+        f"{p}_s1 AS (SELECT {cols}, {xcol}, i_, acc_, ({mant})::BIGINT AS m_"
+        f" FROM {p}_s0)",
+    ]
+    prev = f"{p}_s1"
+    for t in range(LOG2_F_BITS):
+        nxt = f"{p}_s{t + 2}"
+        steps.append(
+            f"{nxt} AS (SELECT {cols}, {xcol}, i_,"
+            f" acc_ * 2 + CASE WHEN (m_ * m_) // {1 << _S} >= {1 << (_S + 1)}"
+            f" THEN 1 ELSE 0 END AS acc_,"
+            f" CASE WHEN (m_ * m_) // {1 << _S} >= {1 << (_S + 1)}"
+            f" THEN ((m_ * m_) // {1 << _S}) // 2"
+            f" ELSE (m_ * m_) // {1 << _S} END AS m_"
+            f" FROM {prev})"
+        )
+        prev = nxt
+    steps.append(
+        f"{out}_done AS (SELECT {cols},"
+        f" (i_ * {1 << LOG2_F_BITS} + acc_)::BIGINT AS {out} FROM {prev})"
+    )
+    return ",\n".join(steps)
+
+
+# ---------------------------------------------------------------- training
+def _doc_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pc) for every adjacent token pair; pc = bp*B + bc."""
+    toks = token_array(F.col(text_col))
+    staged = docs.select("doc_id", toks.alias("_tk"))
+    bkt = F.transform(
+        F.col("_tk"),
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(LM_BUCKETS),
+        ),
+    )
+    sz = F.size("_bk")
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(F.col("_bk"), 1, sz - 1),
+            F.slice(F.col("_bk"), 2, sz - 1),
+            lambda a, b: a * LM_BUCKETS + b,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        staged.select("doc_id", bkt.alias("_bk"))
+        .select("doc_id", F.explode(pairs).alias("pc"))
+    )
+
+
+def ngram_lm_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The trained model: one row per OBSERVED bigram bucket pair.
+
+    Columns: pc, bp, c_big, c_ctx, surprisal_fp (Q10 fixed-point bits
+    of -log2 P_add1(bc|bp))."""
+    pairs = _doc_pairs(docs, text_col)
+    big = pairs.groupBy("pc").agg(F.count("*").alias("c_big"))
+    big = big.withColumn("bp", F.expr(f"pc div {LM_BUCKETS}"))
+    ctx = big.groupBy("bp").agg(F.sum("c_big").alias("c_ctx"))
+    m = (
+        big.join(ctx, "bp")
+        .withColumn("num", F.col("c_big") + 1)
+        .withColumn("den", F.col("c_ctx") + LM_BUCKETS)
+    )
+    m = _log2fp_spark(m, "num", "lnum_fp")
+    m = _log2fp_spark(m, "den", "lden_fp")
+    return m.select(
+        "pc",
+        "bp",
+        "c_big",
+        "c_ctx",
+        (F.col("lden_fp") - F.col("lnum_fp")).alias("surprisal_fp"),
+    )
+
+
+def _ctx_backoff(model: DataFrame) -> DataFrame:
+    """(bp, unseen_fp): surprisal of an UNSEEN bigram in a seen context
+    = log2fp(c_ctx + B) - log2fp(1) = lden_fp."""
+    ctx = model.select("bp", "c_ctx").distinct().withColumn(
+        "den", F.col("c_ctx") + LM_BUCKETS
+    )
+    ctx = _log2fp_spark(ctx, "den", "unseen_fp")
+    return ctx.select("bp", "unseen_fp")
+
+
+def ngram_lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document total + mean surprisal under the corpus-trained
+    bigram model (self-scoring here; a different batch scores through
+    the same joins, unseen pairs backing off to the context row and
+    unseen contexts to the uniform log2(B)).
+
+    Columns: doc_id, n_bigrams, surprisal_fp, avg_bits."""
+    model = ngram_lm_model(docs, text_col)
+    backoff = _ctx_backoff(model)
+    pairs = _doc_pairs(docs, text_col).withColumn(
+        "bp", F.expr(f"pc div {LM_BUCKETS}")
+    )
+    scored = (
+        pairs.join(F.broadcast(model.select("pc", "surprisal_fp")), "pc", "left")
+        .join(F.broadcast(backoff), "bp", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "surprisal_fp", "unseen_fp", F.lit(_UNSEEN_CTX_FP)
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s").alias("surprisal_fp"),
+        )
+    )
+    out = docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("surprisal_fp", F.lit(0)).alias("surprisal_fp"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_fp",
+        F.round(
+            F.col("surprisal_fp")
+            / F.nullif(F.col("n_bigrams"), F.lit(0))
+            / (1 << LOG2_F_BITS),
+            6,
+        ).alias("avg_bits"),
+    )
+
+
+# ----------------------------------------------------------------- oracles
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+)
+
+
+def _pairs_cte(table: str) -> str:
+    bkt = f"({_h60_sql('t.tok')} % {LM_BUCKETS})"
+    return f"""tk AS (
+  SELECT doc_id, generate_subscripts({_TOKS_SQL}, 1) AS pos,
+         unnest({_TOKS_SQL}) AS tok
+  FROM {table} WHERE text IS NOT NULL
+),
+bk AS (SELECT doc_id, pos, {bkt} AS b FROM tk t),
+pr AS (
+  SELECT a.doc_id, a.b * {LM_BUCKETS} + c.b AS pc
+  FROM bk a JOIN bk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+)"""
+
+
+def ngram_lm_model_sql(table: str = "documents") -> str:
+    """DuckDB replay of the full training run, log2fp included."""
+    return f"""
+WITH {_pairs_cte(table)},
+big AS (SELECT pc, pc // {LM_BUCKETS} AS bp, count(*) AS c_big
+        FROM pr GROUP BY pc),
+ctx AS (SELECT bp, sum(c_big)::BIGINT AS c_ctx FROM big GROUP BY bp),
+m0 AS (SELECT big.pc, big.bp, big.c_big, ctx.c_ctx,
+              (big.c_big + 1)::BIGINT AS num,
+              (ctx.c_ctx + {LM_BUCKETS})::BIGINT AS den
+       FROM big JOIN ctx USING (bp)),
+{_log2fp_sql_ctes("m0", "num", "lnum", "pc, bp, c_big, c_ctx, den")},
+{_log2fp_sql_ctes("lnum_done", "den", "lden", "pc, bp, c_big, c_ctx, lnum")}
+SELECT pc, bp, c_big::BIGINT AS c_big, c_ctx::BIGINT AS c_ctx,
+       (lden - lnum)::BIGINT AS surprisal_fp
+FROM lden_done
+"""
+
+
+def ngram_lm_surprisal_sql(table: str = "documents") -> str:
+    return f"""
+WITH model AS ({ngram_lm_model_sql(table)}),
+ctx0 AS (SELECT DISTINCT bp, (c_ctx + {LM_BUCKETS})::BIGINT AS den
+         FROM model),
+{_log2fp_sql_ctes("ctx0", "den", "ubits", "bp")},
+{_pairs_cte(table)},
+sc AS (
+  SELECT p.doc_id,
+         coalesce(m.surprisal_fp, u.ubits, {_UNSEEN_CTX_FP}) AS s
+  FROM pr p
+  LEFT JOIN model m USING (pc)
+  LEFT JOIN ubits_done u ON u.bp = p.pc // {LM_BUCKETS}
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(s)::BIGINT AS surprisal_fp
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.surprisal_fp, 0)::BIGINT AS surprisal_fp,
+       round(coalesce(a.surprisal_fp, 0)::DOUBLE
+             / nullif(coalesce(a.n_bigrams, 0), 0)
+             / {1 << LOG2_F_BITS}, 6) AS avg_bits
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""

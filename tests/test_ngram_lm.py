@@ -1,0 +1,80 @@
+"""Trained bigram LM: fixed-point log2 exactness, scoring semantics,
+hostile rows, and the bounded-exchange / broadcast-join plan shape."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from metadata_quality_stack_spark.operators import ngram_lm
+
+
+def _py_log2fp(x: int) -> int:
+    """Python replica of the mantissa-squaring fixed-point log2."""
+    i = x.bit_length() - 1
+    m = x << (ngram_lm._S - i) if i <= ngram_lm._S else x >> (i - ngram_lm._S)
+    acc = 0
+    for _ in range(ngram_lm.LOG2_F_BITS):
+        t = (m * m) >> ngram_lm._S
+        if t >= 1 << (ngram_lm._S + 1):
+            acc = acc * 2 + 1
+            m = t >> 1
+        else:
+            acc = acc * 2
+            m = t
+    return (i << ngram_lm.LOG2_F_BITS) + acc
+
+
+def test_log2fp_matches_python_and_math(spark):
+    xs = [1, 2, 3, 5, 8, 100, 257, 65536, 10**6, 2**31 - 1, 2**40 + 12345]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    out = ngram_lm._log2fp_spark(df, "x", "l_fp")
+    got = {r.x: r.l_fp for r in out.collect()}
+    scale = 1 << ngram_lm.LOG2_F_BITS
+    for x in xs:
+        assert got[x] == _py_log2fp(x), x
+        # within one fixed-point ulp of the real log2 (truncating algo)
+        assert abs(got[x] / scale - math.log2(x)) <= 2 / scale, x
+    assert got[1] == 0 and got[2] == scale and got[8] == 3 * scale
+
+
+def test_surprisal_orders_frequent_below_rare(spark):
+    """Self-scored: a document whose bigrams the corpus repeats heavily
+    must average fewer bits than one made of corpus-unique pairs."""
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zxqv wkjh pqrs mnbv asdf ghjk"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_lm.ngram_lm_surprisal(docs).collect()}
+    assert out[0].avg_bits < out[100].avg_bits
+    assert out[0].n_bigrams == 8 and out[100].n_bigrams == 5
+
+
+def test_surprisal_hostile_rows(spark):
+    docs = spark.createDataFrame(
+        [(0, "normal text here"), (1, ""), (2, None), (3, "solo"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm.ngram_lm_surprisal(docs).collect()}
+    assert len(out) == 5
+    for d in (1, 2, 3, 4):
+        assert out[d].n_bigrams == 0 and out[d].surprisal_fp == 0
+        assert out[d].avg_bits is None
+    assert out[0].n_bigrams == 2 and out[0].surprisal_fp > 0
+
+
+def test_surprisal_plan_shape(spark):
+    """Counts aggregate on bucket keys (bounded exchanges), the model
+    and backoff ride broadcasts into the scoring join, and text never
+    enters an Exchange."""
+    import re
+
+    from tests.test_plan_shapes import SF_DIR, plan_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_str(ngram_lm.ngram_lm_surprisal(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    ex_ids = set(re.findall(r"\((\d+)\)\s+Exchange", plan))
+    for i in ex_ids:
+        m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
+        blk = m.group(1) if m else ""
+        assert "text#" not in blk and "_tk#" not in blk, blk
