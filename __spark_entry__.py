@@ -644,6 +644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_by_crawl_day"] = lambda s, d: analytics.quality_by_crawl_day(
         _t(s, d, "documents"), SYN_WARC_TS_SQL
     )
+    # one-row release datasheet (size / dup rate / keep rate / token
+    # volume / breadth — one scan, one global agg, all-integer)
+    q["corpus_datasheet"] = lambda s, d: analytics.corpus_datasheet(
+        _t(s, d, "documents")
+    )
     # crawl-text canonicalization (C4-style whitespace/control cleanup)
     q["normalize_text"] = lambda s, d: textops.normalize_text(
         _t(s, d, "documents")
@@ -1541,6 +1546,7 @@ SELECT doc_id, source FROM (
     o["quality_by_crawl_day"] = analytics.quality_by_crawl_day_sql(
         SYN_WARC_TS_SQL
     )
+    o["corpus_datasheet"] = analytics.corpus_datasheet_sql()
     o["score_hist_quantiles"] = cms.hist_quantiles_sql(
         "total_score", 0, 512, from_clause=f"({scored})"
     )

@@ -764,6 +764,81 @@ def quality_by_crawl_day(docs: DataFrame, ts_expr: str) -> DataFrame:
     )
 
 
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """One-row release datasheet (Gebru et al. 2018, "Datasheets for
+    Datasets", arXiv:1803.09010): the corpus-level numbers a dataset
+    card states — size, exact-duplicate rate, keep rate, token volume,
+    source/language breadth — in ONE scan + one global aggregate.
+
+    All-integer outputs (counts / ppm / micros, the quality_by_crawl_day
+    discipline) so the row hash-matches the oracle. The three exact
+    COUNT(DISTINCT) aggregates share the single Expand the planner
+    emits; rows entering it are the slim projection (ids, hashes, token
+    counts), never text.
+
+    Columns: n_docs, n_unique_docs, dup_ppm, keep_ppm,
+    score_avg_micros, total_tokens, tokens_per_doc_micros, n_sources,
+    n_langs."""
+    from metadata_quality_stack_spark.functions.text import token_array
+
+    scored = scored_documents(docs)
+    base = scored.select(
+        "doc_id",
+        "source",
+        "lang",
+        "total_score",
+        "keep",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
+        F.size(token_array(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.expr("(count(*) - count(DISTINCT fp)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("dup_ppm"),
+        F.expr("sum(CAST(keep AS BIGINT)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("keep_ppm"),
+        F.expr("sum(CAST(total_score AS BIGINT)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("score_avg_micros"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.expr("sum(n_tok) * 1000000 div count(*)")
+        .cast("long")
+        .alias("tokens_per_doc_micros"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def corpus_datasheet_sql(table: str = "documents") -> str:
+    from metadata_quality_stack_spark.oracle import sqlgen
+
+    toks = (
+        "list_filter(regexp_split_to_array(d.text, '[ \\t\\n\\r]+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+WITH scored AS ({sqlgen.native_scoring_sql(extra_cols=("source", "lang"))}),
+j AS (SELECT s.doc_id, s.source, s.lang, s.total_score, s.keep,
+        md5(d.text) AS fp,
+        CAST(len({toks}) AS BIGINT) AS n_tok
+      FROM scored s JOIN {table} d USING (doc_id))
+SELECT count(*)::BIGINT AS n_docs,
+  count(DISTINCT fp)::BIGINT AS n_unique_docs,
+  ((count(*) - count(DISTINCT fp)) * 1000000 // count(*))::BIGINT AS dup_ppm,
+  (sum(keep::BIGINT) * 1000000 // count(*))::BIGINT AS keep_ppm,
+  (sum(total_score::BIGINT) * 1000000 // count(*))::BIGINT
+    AS score_avg_micros,
+  sum(n_tok)::BIGINT AS total_tokens,
+  (sum(n_tok) * 1000000 // count(*))::BIGINT AS tokens_per_doc_micros,
+  count(DISTINCT source)::BIGINT AS n_sources,
+  count(DISTINCT lang)::BIGINT AS n_langs
+FROM j
+"""
+
+
 def quality_by_crawl_day_sql(ts_expr: str, table: str = "documents") -> str:
     from metadata_quality_stack_spark.oracle import sqlgen
 

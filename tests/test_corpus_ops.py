@@ -521,3 +521,31 @@ def test_curation_recipe_end_to_end(spark):
     for r in got.values():
         assert r.split in ("train", "val", "test")
         assert 0 <= r.bucket < 100
+
+
+def test_corpus_datasheet_single_scan_and_values(spark):
+    """Datasheet numbers on a hand-checkable corpus; plan = one scan of
+    the input (the three exact distinct aggregates share one Expand)."""
+    from metadata_quality_stack_spark.operators.analytics import corpus_datasheet
+    from tests.test_plan_shapes import plan_str
+
+    rows = [
+        (0, "good text with several proper words here", "en", "s1", 40),
+        (1, "good text with several proper words here", "en", "s2", 40),  # dup
+        (2, "another fine document body entirely", "de", "s1", 35),
+        (3, None, "en", "s1", 0),  # hostile
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = corpus_datasheet(docs).collect()[0]
+    assert r.n_docs == 4
+    assert r.n_unique_docs == 2  # null fp not counted, dup collapses
+    assert r.dup_ppm == (4 - 2) * 1_000_000 // 4
+    assert r.total_tokens == 7 + 7 + 5
+    assert r.n_sources == 2 and r.n_langs == 2
+    assert 0 <= r.keep_ppm <= 1_000_000
+
+    plan = plan_str(corpus_datasheet(docs), "simple")
+    assert plan.count("Scan ") <= 1
+    assert "Expand" in plan
