@@ -589,6 +589,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_lm.ngram_lm_surprisal(_t(s, d, "documents"))
 
     q["ngram_lm_surprisal"] = ngram_lm_surprisal_q
+
+    def token_entropy_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.operators import ngram_lm
+
+        return ngram_lm.token_entropy(_t(s, d, "documents"))
+
+    q["token_entropy"] = token_entropy_q
     # end-to-end keep/drop with the micro models in the checker slot —
     # the first FULLY oracled pipeline run (model rules included)
     q["full_pipeline_micro"] = lambda s, d: micro_lm.full_pipeline_micro(
@@ -1571,6 +1578,7 @@ FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2
     from metadata_quality_stack_spark.operators import ngram_lm as _ngram_lm
 
     o["ngram_lm_surprisal"] = _ngram_lm.ngram_lm_surprisal_sql()
+    o["token_entropy"] = _ngram_lm.token_entropy_sql()
     o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
     o["ccnet_ppl_buckets"] = micro_lm.ccnet_ppl_buckets_sql()
     o["kmv_distinct_estimate"] = sketches.kmv_distinct_estimate_sql()

@@ -308,3 +308,80 @@ SELECT d.doc_id,
              / {1 << LOG2_F_BITS}, 6) AS avg_bits
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# ----------------------------------------------------------- token entropy
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-theoretic quality signal (low entropy = template spam /
+    keyword stuffing; complements the Gopher repetition fractions and
+    the type-token ratio). H = (1/n) * sum_t c_t * (log2 n - log2 c_t),
+    computed ENTIRELY in fixed-point int64 via the same mantissa-
+    squaring log2 as the LM trainer — which is what makes a per-doc
+    entropy SQL-oracle-able at all (no libm on either engine).
+
+    Scale shape: one (doc_id, token)-keyed count aggregate (partial-
+    combined, slim rows — the token census shape), one per-doc rollup;
+    log2fp(n) is computed once per DOC on the small per-doc table and
+    joined back, log2fp(c) per distinct (doc, token) row. Text never
+    shuffles.
+
+    Columns: doc_id, n_tokens, entropy_sum_fp (= n*H in Q10 bits),
+    avg_entropy_bits."""
+    toks = token_array(F.col(text_col))
+    tk = docs.select("doc_id", F.explode(toks).alias("tok"))
+    cnt = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    nn = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    nn = _log2fp_spark(nn, "n", "ln_fp")
+    cnt = _log2fp_spark(cnt, "c", "lc_fp")
+    terms = cnt.join(nn, "doc_id").select(
+        "doc_id",
+        "n",
+        (F.col("c") * (F.col("ln_fp") - F.col("lc_fp"))).alias("term"),
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.first("n").alias("n_tokens"),
+        F.sum("term").alias("entropy_sum_fp"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("entropy_sum_fp", F.lit(0)).cast("long").alias(
+            "entropy_sum_fp"
+        ),
+        F.round(
+            F.col("entropy_sum_fp")
+            / F.nullif(F.col("n_tokens").cast("long"), F.lit(0))
+            / (1 << LOG2_F_BITS),
+            6,
+        ).alias("avg_entropy_bits"),
+    )
+
+
+def token_entropy_sql(table: str = "documents") -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+  FROM {table} WHERE text IS NOT NULL
+),
+cnt AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+nn AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+{_log2fp_sql_ctes("nn", "n", "lnn", "doc_id, n")},
+{_log2fp_sql_ctes("cnt", "c", "lcc", "doc_id, tok, c")},
+terms AS (
+  SELECT c.doc_id, l.n, c.c * (l.lnn - c2.lcc) AS term
+  FROM cnt c
+  JOIN lnn_done l USING (doc_id)
+  JOIN lcc_done c2 ON c2.doc_id = c.doc_id AND c2.tok = c.tok
+),
+agg AS (SELECT doc_id, any_value(n)::BIGINT AS n_tokens,
+               sum(term)::BIGINT AS entropy_sum_fp
+        FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.entropy_sum_fp, 0)::BIGINT AS entropy_sum_fp,
+       round(coalesce(a.entropy_sum_fp, 0)::DOUBLE
+             / nullif(coalesce(a.n_tokens, 0), 0)
+             / {1 << LOG2_F_BITS}, 6) AS avg_entropy_bits
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""

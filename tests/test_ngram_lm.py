@@ -78,3 +78,31 @@ def test_surprisal_plan_shape(spark):
         m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
         blk = m.group(1) if m else ""
         assert "text#" not in blk and "_tk#" not in blk, blk
+
+
+def test_token_entropy_semantics(spark):
+    """Hand-checkable entropies: uniform tokens -> log2(k) bits within
+    fixed-point truncation; constant doc -> 0; hostile rows -> 0/None."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # 4 distinct, uniform -> H = 2.0 exactly
+            (1, "x x x x x"),        # constant -> H = 0
+            (2, "a a b b"),          # H = 1.0 exactly
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm.token_entropy(docs).collect()}
+    assert out[0].n_tokens == 4 and abs(out[0].avg_entropy_bits - 2.0) < 0.01
+    assert out[1].avg_entropy_bits == 0.0
+    assert abs(out[2].avg_entropy_bits - 1.0) < 0.01
+    for d in (3, 4):
+        assert out[d].n_tokens == 0 and out[d].avg_entropy_bits is None
+    # spam (low entropy) orders below prose (high entropy)
+    spam = spark.createDataFrame(
+        [(0, "buy cheap pills " * 30), (1, "varied words compose an actual sentence here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_entropy_bits for r in ngram_lm.token_entropy(spam).collect()}
+    assert got[0] < got[1]
