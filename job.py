@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--partition-by-day", action="store_true",
                     help="hive-partition each bucket's output by warc day "
                          "(partition pruning for day-scoped readers)")
+    ap.add_argument("--curate", default=None, metavar="DIR",
+                    help="after scoring, also run the full curation "
+                         "recipe (quality keep -> exact dedup -> fuzzy "
+                         "LSH dedup -> decontaminate -> content-keyed "
+                         "train/val/test split) over the input pages "
+                         "and write the curated manifest here, hive-"
+                         "partitioned by split")
     ap.add_argument("--merge", action="store_true",
                     help="treat --input as a NEW crawl of an EXISTING "
                          "--output store: carry unchanged urls' stored "
@@ -137,6 +144,39 @@ def main() -> None:
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(metrics_dir, name)
         )
+    if args.curate:
+        from metadata_quality_stack_spark.operators.urlops import domain_of
+        from metadata_quality_stack_spark.plans.curate import curation_recipe
+
+        # the recipe keys on a numeric doc_id: the canonical-url 60-bit
+        # hash (collision odds ~n^2/2^61 — negligible below 10^9 urls
+        # per curation run; the id also fixes the decontamination eval
+        # split and the leakage-safe split buckets deterministically)
+        docs = pages.select(
+            _h60_url(F.col("url_norm")).alias("doc_id"),
+            F.col("url_norm"),
+            "text",
+            *(("lang",) if "lang" in pages.columns else ()),
+            domain_of(F.col("url_norm")).alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        meta = {"source": "source", "n_chars": "n_chars"}
+        if "lang" in pages.columns:
+            meta["lang"] = "lang"
+        curated = curation_recipe(docs, meta_cols=meta).join(
+            docs.select("doc_id", "url_norm"), "doc_id"
+        )
+        curated.write.mode("overwrite").partitionBy("split").parquet(
+            args.curate
+        )
+        back = spark.read.parquet(args.curate)
+        splits = {
+            r["split"]: int(r["n"])
+            for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        stats["curated"] = sum(splits.values())
+        stats["curated_splits"] = splits
+
     print(json.dumps({"job": "quality-filter", **stats}))
     spark.stop()
 

@@ -37,7 +37,7 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
             "--py-files", zip_path,
             os.path.join(REPO, "job.py"),
             "--input", pages_dir, "--output", out_dir, "--buckets", "4",
-            "--blocklist", bl_path,
+            "--blocklist", bl_path, "--curate", str(tmp_path / "curated"),
         ],
         capture_output=True, text=True, cwd=str(tmp_path), timeout=600,
     )
@@ -55,6 +55,16 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
     # the blocked domain never reaches the results table
     from pyspark.sql import functions as F
 
+    # --curate ran the full recipe and wrote a split-partitioned manifest
+    curated = spark.read.parquet(str(tmp_path / "curated"))
+    assert stats["curated"] == curated.count() > 0
+    assert stats["curated"] <= stats["kept"]  # recipe only ever drops
+    assert set(stats["curated_splits"]) <= {"train", "val", "test"}
+    assert {"doc_id", "url_norm", "split", "total_score"} <= set(curated.columns)
+    # blocked domain can't resurface through the curation path either
+    assert curated.filter(
+        F.col("url_norm").contains("medium.example.org")
+    ).count() == 0
     assert (
         result.filter(F.col("url").contains("//medium.example.org/")).count()
         == 0
