@@ -874,6 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _t(s, d, "documents").filter(F.col("doc_id") < JACCARD_MAX_DOC)
     )
+    # LSH operating-point audit: banding recall/precision vs exact truth
+    q["dedup_audit"] = lambda s, d: dedup.dedup_audit(
+        _t(s, d, "documents").filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    )
     # frequent-shingle-pruned variant: boilerplate shingles (df > cap) are
     # dropped before the inverted-index self-join (the hot-posting-list
     # quadratic guard; sizes recomputed over retained shingles)
@@ -1951,6 +1955,26 @@ FROM (
 )
 WHERE round(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) >= 0.2
 """
+    _cand_capped = o["minhash_candidate_pairs"].replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC})",
+        1,
+    )
+    o["dedup_audit"] = f"""
+WITH truth AS (SELECT d1, d2 FROM ({o["ngram_jaccard_pairs"]})),
+cand AS (SELECT d1, d2 FROM ({_cand_capped})),
+j AS (SELECT (t.d1 IS NOT NULL) AS in_truth, (c.d1 IS NOT NULL) AS in_cand
+      FROM truth t FULL OUTER JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2)
+SELECT count(*) FILTER (in_truth)::BIGINT AS n_truth_pairs,
+  count(*) FILTER (in_cand)::BIGINT AS n_candidate_pairs,
+  count(*) FILTER (in_truth AND in_cand)::BIGINT AS n_hit,
+  (count(*) FILTER (in_truth AND in_cand) * 1000000
+     // nullif(count(*) FILTER (in_truth), 0))::BIGINT AS recall_ppm,
+  (count(*) FILTER (in_truth AND in_cand) * 1000000
+     // nullif(count(*) FILTER (in_cand), 0))::BIGINT AS precision_ppm
+FROM j
+"""
+
     o["ngram_jaccard_pruned"] = f"""
 WITH lim AS (SELECT * FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
 sh_all AS (SELECT doc_id, unnest({sh}) AS s FROM lim),

@@ -1087,3 +1087,38 @@ SELECT b.doc_id, b.source, b.n_lines,
 FROM base b LEFT JOIN cnt c USING (doc_id)
 WHERE b.n_lines > 0
 """
+
+
+def dedup_audit(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """LSH parameter audit: recall/precision of the MinHash banding
+    candidates against exact n-gram-Jaccard ground truth — the number
+    an operator checks before trusting a banded dedup run at scale
+    (bands/rows trade recall against candidate volume; this measures
+    the operating point on real data instead of the S-curve formula).
+
+    Input is expected pre-capped by the caller (the exact stage is the
+    quadratic one — same contract as ngram_jaccard_pairs); production
+    runs this on a sampled shard, then applies the chosen parameters
+    corpus-wide.
+
+    Columns: n_truth_pairs, n_candidate_pairs, n_hit, recall_ppm,
+    precision_ppm (integer ppm; NULL when the denominator is empty)."""
+    truth = ngram_jaccard_pairs(docs, threshold).select(
+        "d1", "d2", F.lit(1).alias("_t")
+    )
+    cand = minhash_candidate_pairs(docs).select(
+        "d1", "d2", F.lit(1).alias("_c")
+    )
+    j = truth.join(cand, ["d1", "d2"], "full_outer")
+    hit = "CASE WHEN _t IS NOT NULL AND _c IS NOT NULL THEN 1 ELSE 0 END"
+    return j.agg(
+        F.count("_t").alias("n_truth_pairs"),
+        F.count("_c").alias("n_candidate_pairs"),
+        F.expr(f"sum({hit})").cast("long").alias("n_hit"),
+        F.expr(f"sum({hit}) * 1000000 div nullif(count(_t), 0)")
+        .cast("long")
+        .alias("recall_ppm"),
+        F.expr(f"sum({hit}) * 1000000 div nullif(count(_c), 0)")
+        .cast("long")
+        .alias("precision_ppm"),
+    )
