@@ -385,3 +385,99 @@ SELECT d.doc_id,
              / {1 << LOG2_F_BITS}, 6) AS avg_entropy_bits
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# ------------------------------------------------------- source KL drift
+def source_kl(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source KL divergence of the source's token distribution from
+    the corpus distribution — the domain-drift readout (which sources
+    talk differently from the mix; feeds mixture reweighting and
+    spam-source triage; DSIR's importance weights are the per-DOC
+    sibling of this per-SOURCE number).
+
+    KL(p_s || p_c) = (1/n_s) * sum_t c_st * [(L(c_st) + L(N))
+                                             - (L(n_s) + L(c_ct))]
+    with L = the shared fixed-point log2 — all-integer until the final
+    rounded readout, so the oracle replays it exactly. Smoothing-free:
+    every source token exists in the corpus census by construction
+    (c_ct >= c_st), so no zero-probability terms arise.
+
+    Scale shape: one (source, token) census + one token census derived
+    from it (bounded by vocab, slim rows), two join-backs keyed by the
+    census keys; the four log2fp chains run on census-sized tables.
+
+    Columns: source, n_tokens, kl_sum_fp, kl_bits."""
+    toks = token_array(F.col(text_col))
+    tk = docs.filter(F.col("source").isNotNull()).select(
+        "source", F.explode(toks).alias("tok")
+    )
+    sc = tk.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    ct = sc.groupBy("tok").agg(F.sum("c_st").alias("c_ct"))
+    ns = sc.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    nn = ns.agg(F.sum("n_s").alias("n_tot"))
+    sc = _log2fp_spark(sc, "c_st", "l_cst")
+    ct = _log2fp_spark(ct, "c_ct", "l_cct")
+    ns = _log2fp_spark(ns, "n_s", "l_ns")
+    nn = _log2fp_spark(nn, "n_tot", "l_n")
+    terms = (
+        sc.join(ct.select("tok", "l_cct"), "tok")
+        .join(ns.select("source", "l_ns"), "source")
+        .crossJoin(F.broadcast(nn.select("l_n")))
+        .select(
+            "source",
+            (
+                F.col("c_st")
+                * (
+                    F.col("l_cst")
+                    + F.col("l_n")
+                    - F.col("l_ns")
+                    - F.col("l_cct")
+                )
+            ).alias("term"),
+        )
+    )
+    agg = terms.groupBy("source").agg(F.sum("term").alias("kl_sum_fp"))
+    return (
+        ns.select("source", "n_s")
+        .join(agg, "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("kl_sum_fp").cast("long").alias("kl_sum_fp"),
+            F.round(
+                F.col("kl_sum_fp")
+                / F.col("n_s").cast("long")
+                / (1 << LOG2_F_BITS),
+                6,
+            ).alias("kl_bits"),
+        )
+    )
+
+
+def source_kl_sql(table: str = "documents") -> str:
+    return f"""
+WITH tk AS (
+  SELECT source, unnest({_TOKS_SQL}) AS tok
+  FROM {table} WHERE text IS NOT NULL AND source IS NOT NULL
+),
+sc AS (SELECT source, tok, count(*)::BIGINT AS c_st FROM tk GROUP BY 1, 2),
+ct AS (SELECT tok, sum(c_st)::BIGINT AS c_ct FROM sc GROUP BY 1),
+ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM sc GROUP BY 1),
+nn AS (SELECT sum(n_s)::BIGINT AS n_tot FROM ns),
+{_log2fp_sql_ctes("sc", "c_st", "lcst", "source, tok, c_st")},
+{_log2fp_sql_ctes("ct", "c_ct", "lcct", "tok")},
+{_log2fp_sql_ctes("ns", "n_s", "lns", "source, n_s")},
+{_log2fp_sql_ctes("nn", "n_tot", "ln", "1 AS one")},
+terms AS (
+  SELECT s.source,
+         s.c_st * (s.lcst + n.ln - x.lns - c.lcct) AS term
+  FROM lcst_done s
+  JOIN lcct_done c USING (tok)
+  JOIN lns_done x USING (source)
+  CROSS JOIN ln_done n
+),
+agg AS (SELECT source, sum(term)::BIGINT AS kl_sum_fp FROM terms GROUP BY 1)
+SELECT x.source, x.n_s::BIGINT AS n_tokens, a.kl_sum_fp,
+       round(a.kl_sum_fp::DOUBLE / x.n_s / {1 << LOG2_F_BITS}, 6) AS kl_bits
+FROM lns_done x JOIN agg a USING (source)
+"""

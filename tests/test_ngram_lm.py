@@ -106,3 +106,25 @@ def test_token_entropy_semantics(spark):
     )
     got = {r.doc_id: r.avg_entropy_bits for r in ngram_lm.token_entropy(spam).collect()}
     assert got[0] < got[1]
+
+
+def test_source_kl_semantics(spark):
+    """KL is ~0 for a source matching the corpus mix, positive and
+    larger for a divergent source; null-source rows are excluded."""
+    common = "alpha beta gamma delta epsilon zeta"
+    rows = (
+        [(i, common, "s_match") for i in range(10)]
+        + [(100 + i, common, "s_other") for i in range(10)]
+        + [(200, "unique spammy pills pills pills tokens", "s_weird")]
+        + [(300, common, None)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in ngram_lm.source_kl(docs).collect()}
+    assert None not in out and len(out) == 3
+    # the two matching sources see (almost) the corpus distribution
+    assert out["s_match"].kl_bits < 0.2
+    # the divergent source diverges by more
+    assert out["s_weird"].kl_bits > out["s_match"].kl_bits + 0.5
+    # KL >= 0 up to fixed-point truncation (one ulp per term)
+    for r in out.values():
+        assert r.kl_bits > -0.01
