@@ -345,10 +345,10 @@ def ingest_batch_bloom(
     # doubled m from the post-append key set. Rebuilding BEFORE the
     # append keeps the crash invariant: the new bitmap covers survivors
     # whose fingerprints may not have landed yet (phantom bits, safe).
-    if (
-        m_bits < BLOOM_M_BITS
-        and sum(bin(w).count("1") for w in merged) > m_bits // 2
-    ):
+    # popcount must view each word as its unsigned 64-bit pattern —
+    # bin() on a negative JVM long is sign-magnitude and undercounts
+    n_set = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in merged)
+    if m_bits < BLOOM_M_BITS and n_set > m_bits // 2:
         all_fps = idx.union(new_fps) if idx is not None else new_fps
         merged = bloom_mod.bloom_build(
             all_fps, col="fingerprint", m_bits=min(4 * m_bits, BLOOM_M_BITS)

@@ -171,3 +171,33 @@ def test_bloom_ingest_survives_phantom_bits(spark, tmp_path):
     )
     got = {r.doc_id for r in out.collect()}
     assert got == {2, 4}  # ghost admitted (phantom bit harmless), seen dropped
+
+
+def test_bloom_saturation_rebuild_grows_bitmap(spark, monkeypatch):
+    """Past half-full the ingest rebuilds the bitmap at 4x m (before the
+    append — superset invariant). Force it by shrinking the floor so a
+    moderate key set saturates the bootstrap size."""
+    from metadata_quality_stack_spark.sources import dedup_index as di
+
+    monkeypatch.setattr(di, "BLOOM_MIN_M_BITS", 256)
+    d_dir = None
+    import tempfile
+
+    d_dir = tempfile.mkdtemp(prefix="bloom_sat_")
+    try:
+        # 256-bit floor, 4 hashes/key: ~120 keys set well over half
+        batch = spark.createDataFrame(
+            [(i, f"text number {i}") for i in range(120)],
+            "doc_id long, text string",
+        )
+        di.ingest_batch_bloom(spark, batch, d_dir)
+        bm = di.read_bloom(spark, d_dir)
+        assert 64 * len(bm) >= 1024  # grew past the floor (4x at least)
+        # superset invariant after the rebuild: every stored fingerprint
+        # still probes maybe_dup=true, so re-ingest admits nothing
+        again = di.ingest_batch_bloom(spark, batch, d_dir)
+        assert again.count() == 0
+    finally:
+        import shutil
+
+        shutil.rmtree(d_dir, ignore_errors=True)
