@@ -1279,10 +1279,16 @@ _VERDICT_R3_FIRST = (
     "shuffle_shards",
     "corpus_token_budget",
     # round-4 flagship additions, after the verdict-named set: the
-    # end-to-end recipe composite and the multi-join relational pair
+    # end-to-end recipe composite, the multi-join relational pair, the
+    # fixed-point-log2 family, and the audit/datasheet readouts
     "curation_recipe",
     "tpch_q3",
     "tpch_q5",
+    "ngram_lm_surprisal",
+    "token_entropy",
+    "source_kl",
+    "corpus_datasheet",
+    "dedup_audit",
 )
 
 
