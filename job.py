@@ -2,7 +2,8 @@
 
     spark-submit --py-files dist/metadata_quality_stack_spark.zip job.py \
         --input /data/pages --output /data/results [--buckets 64] \
-        [--lang-filter en] [--salts 16]
+        [--lang-filter en] [--salts 16] [--blocklist domains.txt] \
+        [--merge] [--curate /data/curated]
 
 Reads an Iceberg-style pages table (url, warc_ts, html, text, lang),
 runs the quality pipeline bucket-by-bucket through the snapshot-manifest
