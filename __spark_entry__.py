@@ -603,6 +603,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_lm.source_kl(_t(s, d, "documents"))
 
     q["source_kl"] = source_kl_q
+
+    def ngram_lm_stored_cycle_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.operators import ngram_lm
+
+        return ngram_lm.ngram_lm_stored_cycle(s, _t(s, d, "documents"))
+
+    q["ngram_lm_stored_cycle"] = ngram_lm_stored_cycle_q
     # end-to-end keep/drop with the micro models in the checker slot —
     # the first FULLY oracled pipeline run (model rules included)
     q["full_pipeline_micro"] = lambda s, d: micro_lm.full_pipeline_micro(
@@ -1597,6 +1604,10 @@ FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2
     o["ngram_lm_surprisal"] = _ngram_lm.ngram_lm_surprisal_sql()
     o["token_entropy"] = _ngram_lm.token_entropy_sql()
     o["source_kl"] = _ngram_lm.source_kl_sql()
+    o["ngram_lm_stored_cycle"] = _ngram_lm.ngram_lm_cross_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+    )
     o["full_pipeline_micro"] = micro_lm.full_pipeline_micro_sql()
     o["ccnet_ppl_buckets"] = micro_lm.ccnet_ppl_buckets_sql()
     o["kmv_distinct_estimate"] = sketches.kmv_distinct_estimate_sql()

@@ -199,14 +199,15 @@ def _ctx_backoff(model: DataFrame) -> DataFrame:
     return ctx.select("bp", "unseen_fp")
 
 
-def ngram_lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document total + mean surprisal under the corpus-trained
-    bigram model (self-scoring here; a different batch scores through
-    the same joins, unseen pairs backing off to the context row and
-    unseen contexts to the uniform log2(B)).
+def score_against_model(
+    model: DataFrame, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Score ``docs`` against an ALREADY-TRAINED model frame (in-plan
+    or read back from parquet — the stored-model production path).
+    Unseen pairs back off to the context row, unseen contexts to the
+    uniform log2(B).
 
     Columns: doc_id, n_bigrams, surprisal_fp, avg_bits."""
-    model = ngram_lm_model(docs, text_col)
     backoff = _ctx_backoff(model)
     pairs = _doc_pairs(docs, text_col).withColumn(
         "bp", F.expr(f"pc div {LM_BUCKETS}")
@@ -242,6 +243,36 @@ def ngram_lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("avg_bits"),
     )
+
+
+def ngram_lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Self-scoring: train on ``docs``, score ``docs`` (one plan)."""
+    return score_against_model(ngram_lm_model(docs, text_col), docs, text_col)
+
+
+def ngram_lm_stored_cycle(spark, docs: DataFrame, mod: int = 2) -> DataFrame:
+    """The stored-model deployment path as one gate row: TRAIN on the
+    even-id half, persist the model table to parquet, read it back,
+    SCORE the odd-id half against the stored model — which exercises
+    the unseen-pair backoff and unseen-context default for real
+    (self-scoring can never miss the model). The scratch dir is
+    removed after an eager checkpoint (the index_probe_cycle pattern).
+
+    Columns: doc_id, n_bigrams, surprisal_fp, avg_bits."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ngram_lm_store_")
+    try:
+        train = docs.filter(F.col("doc_id") % mod == 0)
+        ngram_lm_model(train).write.mode("overwrite").parquet(d)
+        stored = spark.read.parquet(d)
+        out = score_against_model(
+            stored, docs.filter(F.col("doc_id") % mod == 1)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ----------------------------------------------------------------- oracles
@@ -284,8 +315,15 @@ FROM lden_done
 
 
 def ngram_lm_surprisal_sql(table: str = "documents") -> str:
+    return ngram_lm_cross_sql(table, table)
+
+
+def ngram_lm_cross_sql(train_table: str, score_table: str) -> str:
+    """Train on ``train_table``, score ``score_table`` — the stored-
+    cycle mirror (identical joins; storage is value-transparent)."""
+    table = score_table
     return f"""
-WITH model AS ({ngram_lm_model_sql(table)}),
+WITH model AS ({ngram_lm_model_sql(train_table)}),
 ctx0 AS (SELECT DISTINCT bp, (c_ctx + {LM_BUCKETS})::BIGINT AS den
          FROM model),
 {_log2fp_sql_ctes("ctx0", "den", "ubits", "bp")},

@@ -128,3 +128,31 @@ def test_source_kl_semantics(spark):
     # KL >= 0 up to fixed-point truncation (one ulp per term)
     for r in out.values():
         assert r.kl_bits > -0.01
+
+
+def test_stored_cycle_exercises_backoff(spark, tmp_path):
+    """Scoring a DIFFERENT batch against a stored model must route
+    unseen pairs through the context backoff and unseen contexts to
+    the uniform default — and storage must be value-transparent
+    (stored-model scores == in-plan-model scores on the same split)."""
+    rows = [(i, "shared common phrasing appears here" if i % 2 == 0
+             else "totally novel unseen wording instead") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ngram_lm.ngram_lm_stored_cycle(spark, docs).collect()}
+    assert set(out) == {1, 3, 5, 7}  # odd half only
+    # the odd docs' bigrams never occur in the even training half:
+    # every pair scores the unseen-context default (model trained on
+    # even half shares no token buckets) or a backoff — all positive
+    for r in out.values():
+        assert r.n_bigrams == 4 and r.surprisal_fp > 0
+    # value transparency: same split scored against the in-plan model
+    train = docs.filter("doc_id % 2 = 0")
+    score = docs.filter("doc_id % 2 = 1")
+    direct = {
+        r.doc_id: r.surprisal_fp
+        for r in ngram_lm.score_against_model(
+            ngram_lm.ngram_lm_model(train), score
+        ).collect()
+    }
+    assert direct == {d: r.surprisal_fp for d, r in out.items()}
