@@ -1292,6 +1292,7 @@ _VERDICT_R3_FIRST = (
     "tpch_q3",
     "tpch_q5",
     "ngram_lm_surprisal",
+    "ngram_lm_stored_cycle",
     "token_entropy",
     "source_kl",
     "corpus_datasheet",
