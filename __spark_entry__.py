@@ -610,6 +610,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_lm.ngram_lm_stored_cycle(s, _t(s, d, "documents"))
 
     q["ngram_lm_stored_cycle"] = ngram_lm_stored_cycle_q
+
+    def ngram_lm_by_lang_q(s: SparkSession, d: str) -> DataFrame:
+        from metadata_quality_stack_spark.operators import ngram_lm
+
+        return ngram_lm.ngram_lm_by_lang(_t(s, d, "documents"))
+
+    q["ngram_lm_by_lang"] = ngram_lm_by_lang_q
     # end-to-end keep/drop with the micro models in the checker slot —
     # the first FULLY oracled pipeline run (model rules included)
     q["full_pipeline_micro"] = lambda s, d: micro_lm.full_pipeline_micro(
@@ -1605,6 +1612,7 @@ FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2
     o["ngram_lm_surprisal"] = _ngram_lm.ngram_lm_surprisal_sql()
     o["token_entropy"] = _ngram_lm.token_entropy_sql()
     o["source_kl"] = _ngram_lm.source_kl_sql()
+    o["ngram_lm_by_lang"] = _ngram_lm.ngram_lm_by_lang_sql()
     o["ngram_lm_stored_cycle"] = _ngram_lm.ngram_lm_cross_sql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",

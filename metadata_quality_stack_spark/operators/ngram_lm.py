@@ -137,10 +137,12 @@ def _log2fp_sql_ctes(src: str, xcol: str, out: str, cols: str) -> str:
 
 
 # ---------------------------------------------------------------- training
-def _doc_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pc) for every adjacent token pair; pc = bp*B + bc."""
+def _doc_pairs(
+    docs: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
+    """(doc_id, *carry, pc) for every adjacent token pair; pc = bp*B+bc."""
     toks = token_array(F.col(text_col))
-    staged = docs.select("doc_id", toks.alias("_tk"))
+    staged = docs.select("doc_id", *carry, toks.alias("_tk"))
     bkt = F.transform(
         F.col("_tk"),
         lambda t: F.pmod(
@@ -159,8 +161,8 @@ def _doc_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<long>"))
     return (
-        staged.select("doc_id", bkt.alias("_bk"))
-        .select("doc_id", F.explode(pairs).alias("pc"))
+        staged.select("doc_id", *carry, bkt.alias("_bk"))
+        .select("doc_id", *carry, F.explode(pairs).alias("pc"))
     )
 
 
@@ -518,4 +520,116 @@ agg AS (SELECT source, sum(term)::BIGINT AS kl_sum_fp FROM terms GROUP BY 1)
 SELECT x.source, x.n_s::BIGINT AS n_tokens, a.kl_sum_fp,
        round(a.kl_sum_fp::DOUBLE / x.n_s / {1 << LOG2_F_BITS}, 6) AS kl_bits
 FROM lns_done x JOIN agg a USING (source)
+"""
+
+
+# ------------------------------------------------------ per-language LMs
+def ngram_lm_by_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-faithful per-LANGUAGE models (arXiv:1911.00359 trains one
+    KenLM per language; a single pooled model lets the dominant
+    language set everyone's norms): every doc scores under its OWN
+    language's bigram model, trained in the same pass. One extra key
+    column on the same bounded aggregates — the model space is
+    |langs| x B^2, still broadcast-sized; lang rides the pair
+    exchange as a few bytes.
+
+    Docs with NULL lang are excluded (route them through langid
+    first — the production order). Unseen pairs back off to the
+    (lang, context) row; unseen contexts to the uniform log2(B).
+
+    Columns: doc_id, lang, n_bigrams, surprisal_fp, avg_bits."""
+    base = docs.filter(F.col("lang").isNotNull())
+    pairs = _doc_pairs(base, text_col, carry=("lang",)).withColumn(
+        "bp", F.expr(f"pc div {LM_BUCKETS}")
+    )
+    big = pairs.groupBy("lang", "pc").agg(F.count("*").alias("c_big"))
+    big = big.withColumn("bp", F.expr(f"pc div {LM_BUCKETS}"))
+    ctx = big.groupBy("lang", "bp").agg(F.sum("c_big").alias("c_ctx"))
+    m = (
+        big.join(ctx, ["lang", "bp"])
+        .withColumn("num", F.col("c_big") + 1)
+        .withColumn("den", F.col("c_ctx") + LM_BUCKETS)
+    )
+    m = _log2fp_spark(m, "num", "lnum_fp")
+    m = _log2fp_spark(m, "den", "lden_fp")
+    model = m.select(
+        "lang", "pc", (F.col("lden_fp") - F.col("lnum_fp")).alias("s_fp")
+    )
+    bo = _log2fp_spark(
+        ctx.withColumn("den", F.col("c_ctx") + LM_BUCKETS), "den", "unseen_fp"
+    ).select("lang", "bp", "unseen_fp")
+    scored = (
+        pairs.join(F.broadcast(model), ["lang", "pc"], "left")
+        .join(F.broadcast(bo), ["lang", "bp"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("s_fp", "unseen_fp", F.lit(_UNSEEN_CTX_FP)).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s").alias("surprisal_fp"),
+        )
+    )
+    return base.select("doc_id", "lang").join(scored, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("surprisal_fp", F.lit(0)).cast("long").alias(
+            "surprisal_fp"
+        ),
+        F.round(
+            F.col("surprisal_fp")
+            / F.nullif(F.col("n_bigrams").cast("long"), F.lit(0))
+            / (1 << LOG2_F_BITS),
+            6,
+        ).alias("avg_bits"),
+    )
+
+
+def ngram_lm_by_lang_sql(table: str = "documents") -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang, generate_subscripts({_TOKS_SQL}, 1) AS pos,
+         unnest({_TOKS_SQL}) AS tok
+  FROM {table} WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+bk AS (SELECT doc_id, lang, pos, ({_h60_sql('t.tok')} % {LM_BUCKETS}) AS b
+       FROM tk t),
+pr AS (
+  SELECT a.doc_id, a.lang, a.b * {LM_BUCKETS} + c.b AS pc
+  FROM bk a JOIN bk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+),
+big AS (SELECT lang, pc, pc // {LM_BUCKETS} AS bp, count(*) AS c_big
+        FROM pr GROUP BY 1, 2),
+ctx AS (SELECT lang, bp, sum(c_big)::BIGINT AS c_ctx
+        FROM big GROUP BY 1, 2),
+m0 AS (SELECT big.lang, big.pc, big.bp, big.c_big, ctx.c_ctx,
+              (big.c_big + 1)::BIGINT AS num,
+              (ctx.c_ctx + {LM_BUCKETS})::BIGINT AS den
+       FROM big JOIN ctx USING (lang, bp)),
+{_log2fp_sql_ctes("m0", "num", "lnum", "lang, pc, den")},
+{_log2fp_sql_ctes("lnum_done", "den", "lden", "lang, pc, lnum")},
+model AS (SELECT lang, pc, (lden - lnum)::BIGINT AS s_fp FROM lden_done),
+ctx0 AS (SELECT lang, bp, (c_ctx + {LM_BUCKETS})::BIGINT AS den FROM ctx),
+{_log2fp_sql_ctes("ctx0", "den", "ubits", "lang, bp")},
+sc AS (
+  SELECT p.doc_id,
+         coalesce(m.s_fp, u.ubits, {_UNSEEN_CTX_FP}) AS s
+  FROM pr p
+  LEFT JOIN model m ON m.lang = p.lang AND m.pc = p.pc
+  LEFT JOIN ubits_done u
+    ON u.lang = p.lang AND u.bp = p.pc // {LM_BUCKETS}
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(s)::BIGINT AS surprisal_fp
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.surprisal_fp, 0)::BIGINT AS surprisal_fp,
+       round(coalesce(a.surprisal_fp, 0)::DOUBLE
+             / nullif(coalesce(a.n_bigrams, 0), 0)
+             / {1 << LOG2_F_BITS}, 6) AS avg_bits
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+WHERE d.lang IS NOT NULL
 """

@@ -156,3 +156,20 @@ def test_stored_cycle_exercises_backoff(spark, tmp_path):
         ).collect()
     }
     assert direct == {d: r.surprisal_fp for d, r in out.items()}
+
+
+def test_by_lang_models_are_independent(spark):
+    """A phrase common in lang A but absent from lang B must score
+    cheaper under A's model than the same phrase does for a B doc —
+    the pooled-model failure the per-language split exists to fix."""
+    en = "the cat sat on the mat and the dog sat too"
+    rows = [(i, en, "en") for i in range(10)]
+    rows += [(100 + i, "der hund lief durch den garten heute morgen", "de")
+             for i in range(10)]
+    rows.append((200, en, "de"))   # EN phrasing labeled de: de model never saw it
+    rows.append((300, en, None))   # null lang excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in ngram_lm.ngram_lm_by_lang(docs).collect()}
+    assert 300 not in out
+    assert out[0].avg_bits < out[200].avg_bits  # own-language phrasing is cheap
+    assert out[200].n_bigrams == out[0].n_bigrams
