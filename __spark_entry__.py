@@ -1300,6 +1300,7 @@ _VERDICT_R3_FIRST = (
     "tpch_q5",
     "ngram_lm_surprisal",
     "ngram_lm_stored_cycle",
+    "ngram_lm_by_lang",
     "token_entropy",
     "source_kl",
     "corpus_datasheet",
