@@ -152,6 +152,29 @@ def main() -> None:
         dt = time.time() - t0
         if micro_dt is None or dt < micro_dt:
             micro_dt, micro_steal = dt, _steal() - s0
+    # the end-to-end curation recipe (quality -> exact dedup -> fuzzy
+    # dedup -> decontaminate -> split) on the SAME 100k-page corpus,
+    # reported OUTSIDE bench_total like the micro pipeline: it is the
+    # flagship composite, not a per-round comparable
+    from metadata_quality_stack_spark.operators.urlops import domain_of
+    from metadata_quality_stack_spark.plans.curate import curation_recipe
+
+    rec_src = corpus.select(
+        F.xxhash64("url").alias("doc_id"),
+        "text",
+        "lang",
+        domain_of(F.col("url")).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    rec_meta = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
+    rec_dt, rec_steal = None, 0
+    for _ in range(2):
+        s0, t0 = _steal(), time.time()
+        _noop(curation_recipe(rec_src, meta_cols=rec_meta))
+        dt = time.time() - t0
+        if rec_dt is None or dt < rec_dt:
+            rec_dt, rec_steal = dt, _steal() - s0
+
     docs_per_sec = round(n_docs / timings["quality_pipeline_full"], 1)
     print(
         json.dumps(
@@ -168,6 +191,9 @@ def main() -> None:
                 "micro_pipeline_sec": round(micro_dt, 3),
                 "micro_pipeline_docs_per_sec": round(n_docs / micro_dt, 1),
                 "micro_pipeline_steal_jiffies": micro_steal,
+                "curation_recipe_sec": round(rec_dt, 3),
+                "curation_recipe_docs_per_sec": round(n_docs / rec_dt, 1),
+                "curation_recipe_steal_jiffies": rec_steal,
                 "load_1m": round(os.getloadavg()[0], 1),
             }
         )
