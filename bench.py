@@ -77,37 +77,49 @@ def main() -> None:
         return int(open("/proc/stat").readline().split()[8])
 
     steal_best: dict[str, int] = {}
+    quiet_retries: dict[str, int] = {}
 
-    def bench(name, df_fn, runs: int = 3, hunt_quiet: bool = False):
-        # best-of-N: this sandbox sees host CPU-steal storms (neighbors can
-        # steal 100s of CPU-seconds inside one run); min wall is the honest
-        # engine number, and we record the steal seen during that best run.
-        # For the flagship (hunt_quiet): if even the best run was polluted,
-        # take up to 3 extra runs with a pause first — storms arrive at
-        # ~minute cadence, so waiting beats re-running into the same one;
-        # measured quiet-vs-storm drift is 1.6-8x on the same binary.
-        best, best_steal = None, 0
-        extra_budget = 3 if hunt_quiet else 0
+    def timed_best(run_fn, runs: int, hunt_budget: int):
+        """Best-of-N wall time with per-run steal accounting. This
+        sandbox sees host CPU-steal storms (neighbors can steal 100s of
+        CPU-seconds inside one run); min wall is the honest engine
+        number, and the steal seen during that best run rides along so
+        the RECORD is self-explaining (VERDICT r4: a polluted official
+        bench was unfalsifiable because only the flagship emitted its
+        steal). If even the best run was polluted, take up to
+        ``hunt_budget`` extra runs with a pause first — storms arrive at
+        ~minute cadence, so waiting beats re-running into the same one;
+        measured quiet-vs-storm drift is 1.6-8x on the same binary.
+        Returns (best_sec, best_steal_jiffies, extra_runs_taken)."""
+        best, best_steal, extra = None, 0, 0
         n = 0
-        while n < runs or (best_steal > 20 and extra_budget > 0):
+        while n < runs or (best_steal > 15 and extra < hunt_budget):
             if n >= runs:
-                extra_budget -= 1
-                time.sleep(20)
+                extra += 1
+                time.sleep(15)
             n += 1
             s0, t0 = _steal(), time.time()
-            _noop(df_fn())
+            run_fn()
             dt = time.time() - t0
             run_steal = _steal() - s0
             if best is None or dt < best:
                 best, best_steal = dt, run_steal
+        return best, best_steal, extra
+
+    def bench(name, df_fn, runs: int = 3):
+        # every query hunts for a quiet window (r4 extended this beyond
+        # the flagship: the micro-queries were the ones a storm polluted)
+        best, st, extra = timed_best(
+            lambda: _noop(df_fn()), runs, hunt_budget=3
+        )
         timings[name] = round(best, 3)
-        steal_best[name] = best_steal
+        steal_best[name] = st
+        quiet_retries[name] = extra
 
     bench(
         "quality_pipeline_full",
         lambda: quality_pipeline(corpus, id_cols=("url",), lang_col="lang"),
         runs=int(os.environ.get("BENCH_PIPELINE_RUNS", "5")),
-        hunt_quiet=True,
     )
 
     # sf tables ship as ONE parquet file (< maxPartitionBytes), which Spark
@@ -145,35 +157,36 @@ def main() -> None:
     micro_src = corpus.select(
         F.col("url").alias("doc_id"), "text", "lang"
     )
-    micro_dt, micro_steal = None, 0
-    for _ in range(2):  # best-of-2: single runs proved steal-polluted
-        s0, t0 = _steal(), time.time()
-        _noop(micro_lm.full_pipeline_micro(micro_src))
-        dt = time.time() - t0
-        if micro_dt is None or dt < micro_dt:
-            micro_dt, micro_steal = dt, _steal() - s0
+    # best-of-2 with a 1-retry quiet hunt: single runs proved
+    # steal-polluted, and at ~26 s/run a deep hunt costs too much
+    micro_dt, micro_steal, micro_extra = timed_best(
+        lambda: _noop(micro_lm.full_pipeline_micro(micro_src)),
+        runs=2,
+        hunt_budget=1,
+    )
     # the end-to-end curation recipe (quality -> exact dedup -> fuzzy
     # dedup -> decontaminate -> split) on the SAME 100k-page corpus,
     # reported OUTSIDE bench_total like the micro pipeline: it is the
     # flagship composite, not a per-round comparable
-    from metadata_quality_stack_spark.operators.urlops import domain_of
+    from metadata_quality_stack_spark.operators.urlops import _h60_url, domain_of
     from metadata_quality_stack_spark.plans.curate import curation_recipe
 
+    # same nonnegative 60-bit hash as job.py --curate: doc_id sign changes
+    # the % EVAL_MOD holdout (Spark % preserves sign), so bench and
+    # production must key identically
     rec_src = corpus.select(
-        F.xxhash64("url").alias("doc_id"),
+        _h60_url(F.col("url")).alias("doc_id"),
         "text",
         "lang",
         domain_of(F.col("url")).alias("source"),
         F.length("text").cast("long").alias("n_chars"),
     )
     rec_meta = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
-    rec_dt, rec_steal = None, 0
-    for _ in range(2):
-        s0, t0 = _steal(), time.time()
-        _noop(curation_recipe(rec_src, meta_cols=rec_meta))
-        dt = time.time() - t0
-        if rec_dt is None or dt < rec_dt:
-            rec_dt, rec_steal = dt, _steal() - s0
+    rec_dt, rec_steal, rec_extra = timed_best(
+        lambda: _noop(curation_recipe(rec_src, meta_cols=rec_meta)),
+        runs=2,
+        hunt_budget=1,
+    )
 
     docs_per_sec = round(n_docs / timings["quality_pipeline_full"], 1)
     print(
@@ -187,13 +200,20 @@ def main() -> None:
                 "pipeline_docs": n_docs,
                 "docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
+                # per-query steal seen during each BEST run + how many
+                # quiet-hunt retries it took: the record distinguishes an
+                # engine regression from neighbor noise by itself
+                "steal_jiffies": steal_best,
+                "quiet_retries": quiet_retries,
                 "pipeline_steal_jiffies": steal_best["quality_pipeline_full"],
                 "micro_pipeline_sec": round(micro_dt, 3),
                 "micro_pipeline_docs_per_sec": round(n_docs / micro_dt, 1),
                 "micro_pipeline_steal_jiffies": micro_steal,
+                "micro_pipeline_quiet_retries": micro_extra,
                 "curation_recipe_sec": round(rec_dt, 3),
                 "curation_recipe_docs_per_sec": round(n_docs / rec_dt, 1),
                 "curation_recipe_steal_jiffies": rec_steal,
+                "curation_recipe_quiet_retries": rec_extra,
                 "load_1m": round(os.getloadavg()[0], 1),
             }
         )

@@ -52,6 +52,15 @@ def main() -> None:
                          "train/val/test split) over the input pages "
                          "and write the curated manifest here, hive-"
                          "partitioned by split")
+    ap.add_argument("--filter-bank", default=None, metavar="DIR",
+                    help="also run the fused single-scan heuristic "
+                         "filter bank (Gopher repetition, C4 line gate, "
+                         "mojibake, lexical diversity, homoglyph script "
+                         "mix, language-aware stopwords) over the input "
+                         "pages and write per-doc family flags here; "
+                         "per-family keep rates land in DIR/_metrics. "
+                         "Uses the declared lang column when present, "
+                         "the langid model's prediction otherwise")
     ap.add_argument("--merge", action="store_true",
                     help="treat --input as a NEW crawl of an EXISTING "
                          "--output store: carry unchanged urls' stored "
@@ -177,6 +186,44 @@ def main() -> None:
         }
         stats["curated"] = sum(splits.values())
         stats["curated_splits"] = splits
+
+    if args.filter_bank:
+        from metadata_quality_stack_spark.plans.curate import (
+            heuristic_filter_bank,
+        )
+
+        if "lang" in pages.columns:
+            lang_expr = F.col("lang")
+        else:
+            # lang-less tables: the stopword family is language-aware,
+            # so feed it the langid model's prediction (one Arrow
+            # crossing, same iterator UDF the pipeline uses)
+            from metadata_quality_stack_spark.functions.langid import (
+                langid_udf,
+            )
+
+            lang_expr = langid_udf()(F.col("text"))["lang_pred"]
+        bank_src = pages.select(
+            _h60_url(F.col("url_norm")).alias("doc_id"),
+            F.col("url_norm"),
+            "text",
+            lang_expr.alias("lang"),
+        )
+        flags = heuristic_filter_bank(
+            bank_src.select("doc_id", "text", "lang")
+        ).join(bank_src.select("doc_id", "url_norm"), "doc_id")
+        flags.write.mode("overwrite").parquet(args.filter_bank)
+        back = spark.read.parquet(args.filter_bank)
+        fam_cols = [c for c in back.columns if c.endswith("_keep")] + ["keep"]
+        rates = back.agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(F.col(c).cast("long")).alias(f"n_{c}") for c in fam_cols],
+        )
+        rates.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.filter_bank, "_metrics", "keep_rates")
+        )
+        r = rates.collect()[0]
+        stats["filter_bank"] = {k: int(v) for k, v in r.asDict().items()}
 
     print(json.dumps({"job": "quality-filter", **stats}))
     spark.stop()

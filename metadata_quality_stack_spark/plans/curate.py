@@ -38,6 +38,12 @@ def _stages(
 ) -> dict[str, DataFrame]:
     scored = apply_quality(docs, meta_cols=meta_cols, profile=profile)
     kept = filter_scored(scored, F.col("keep"))
+    if "lang" not in kept.columns:
+        # job.py --curate supports lang-less pages tables (lang is added
+        # to meta_cols only when present); the curated schema keeps the
+        # column as an explicit null so downstream partitioning/selects
+        # are shape-stable either way
+        kept = kept.withColumn("lang", F.lit(None).cast("string"))
     # project down BEFORE the dedup: the fingerprint is computed map-side
     # and the text column never reaches the shuffle (at 100 TB the dedup
     # exchange ships ~50 bytes/doc, not the document).

@@ -270,7 +270,7 @@ def _bloom_dir(index_dir: str) -> str:
 def write_bloom(spark: SparkSession, bitmap: list[int], index_dir: str) -> None:
     """Persist the bitmap with its geometry: m_bits rides along so a
     reader never has to assume a global constant (bitmaps of different
-    ingerations may be sized differently)."""
+    generations may be sized differently)."""
     m_bits = 64 * len(bitmap)
     rows = [(i, w, m_bits) for i, w in enumerate(bitmap) if w]
     df = spark.createDataFrame(
@@ -285,7 +285,22 @@ def read_bloom(spark: SparkSession, index_dir: str) -> list[int] | None:
         rows = spark.read.parquet(_bloom_dir(index_dir)).collect()
     except AnalysisException:
         return None
-    m_bits = int(rows[0].m_bits) if rows else BLOOM_MIN_M_BITS
+    if rows and "m_bits" in rows[0].__fields__:
+        m_bits = int(rows[0].m_bits)
+    elif rows:
+        # legacy sidecar (schema word_idx, bits — no geometry column):
+        # GUESSING the geometry risks false negatives (bits set mod one
+        # m, probed mod another -> readmitted duplicates), so treat the
+        # sidecar as absent — the caller's bootstrap path rebuilds the
+        # bitmap from the committed index keys (unconditionally safe,
+        # and right-sizes the one-time migration) and writes it back
+        # with the geometry column
+        return None
+    else:
+        m_bits = BLOOM_MIN_M_BITS
+    # never index past the end even if the stored geometry lies
+    if rows:
+        m_bits = max(m_bits, 64 * (max(int(r.word_idx) for r in rows) + 1))
     bitmap = [0] * (m_bits // 64)
     for r in rows:
         bitmap[int(r.word_idx)] |= int(r.bits)
@@ -342,7 +357,8 @@ def ingest_batch_bloom(
     merged = [a | b for a, b in zip(bitmap, new_bits)]
     # saturation guard: past half-full the FP rate decays toward "route
     # everything to the anti-join" (correct, just useless) — rebuild at
-    # doubled m from the post-append key set. Rebuilding BEFORE the
+    # 4x m (one growth step skips the soon-again-saturated 2x size)
+    # from the post-append key set. Rebuilding BEFORE the
     # append keeps the crash invariant: the new bitmap covers survivors
     # whose fingerprints may not have landed yet (phantom bits, safe).
     # popcount must view each word as its unsigned 64-bit pattern —

@@ -201,3 +201,39 @@ def test_bloom_saturation_rebuild_grows_bitmap(spark, monkeypatch):
         import shutil
 
         shutil.rmtree(d_dir, ignore_errors=True)
+
+
+def test_bloom_legacy_sidecar_without_geometry(spark, tmp_path):
+    """ADVICE r4: a bloom sidecar written by the pre-geometry code
+    (schema word_idx, bits — no m_bits column) must not crash
+    ingest_batch_bloom. The reader treats it as absent (guessing the
+    geometry risks false negatives), the bootstrap path rebuilds the
+    bitmap from the committed index keys, and the rewritten sidecar
+    carries the geometry column — an in-place upgrade, not a breaker."""
+    from metadata_quality_stack_spark.sources import dedup_index as di
+
+    d = str(tmp_path / "idx")
+    di.ingest_batch_bloom(
+        spark,
+        spark.createDataFrame([(1, "seen page")], "doc_id long, text string"),
+        d,
+    )
+    # regress the sidecar to the legacy schema (drop the m_bits column)
+    legacy = spark.read.parquet(di._bloom_dir(d)).select("word_idx", "bits")
+    legacy_pdf = legacy.toPandas()
+    spark.createDataFrame(legacy_pdf).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(di._bloom_dir(d))
+    assert di.read_bloom(spark, d) is None  # legacy -> bootstrap signal
+
+    out = di.ingest_batch_bloom(
+        spark,
+        spark.createDataFrame(
+            [(2, "seen page"), (3, "fresh page")], "doc_id long, text string"
+        ),
+        d,
+    )
+    # duplicate still dropped (no false negative), fresh row admitted
+    assert {r.doc_id for r in out.collect()} == {3}
+    # and the sidecar is upgraded in place: geometry column back
+    assert "m_bits" in spark.read.parquet(di._bloom_dir(d)).columns

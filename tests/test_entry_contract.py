@@ -27,12 +27,12 @@ def test_priority_is_self_aiming():
     verified = entry._driver_verified()
     unverified = [n for n in qs if n not in verified]
     assert qs[: len(unverified)] == unverified
-    # the driver window verifies ~50 queries per round; a ONE-round
-    # backlog is acceptable (the window drains oldest-first, so the
-    # overflow lands in the next round's file), two rounds of backlog
-    # means additions outpace verification and must pause
-    assert len(unverified) <= 100, (
-        "unverified backlog exceeds TWO driver windows — "
+    # the driver window verifies ~50 queries per round; the backlog must
+    # fit in ONE window (VERDICT r4 tightened this from two: a two-window
+    # allowance let the unverified set ratchet). The backlog is the
+    # BUDGET for new queries in the round that creates it.
+    assert len(unverified) <= 50, (
+        "unverified backlog exceeds ONE driver window — "
         "stop adding queries until the gate catches up"
     )
     # the mechanism, not the snapshot: an unknown name is never verified

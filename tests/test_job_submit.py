@@ -38,6 +38,7 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
             os.path.join(REPO, "job.py"),
             "--input", pages_dir, "--output", out_dir, "--buckets", "4",
             "--blocklist", bl_path, "--curate", str(tmp_path / "curated"),
+            "--filter-bank", str(tmp_path / "bank"),
         ],
         capture_output=True, text=True, cwd=str(tmp_path), timeout=600,
     )
@@ -68,6 +69,19 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
     assert (
         result.filter(F.col("url").contains("//medium.example.org/")).count()
         == 0
+    )
+    # --filter-bank wrote per-doc family flags + the keep-rate sidecar
+    bank = spark.read.parquet(str(tmp_path / "bank"))
+    assert bank.count() == 120 - n_blocked
+    fam = {"gopher_keep", "c4_keep", "moji_keep", "lex_keep",
+           "script_keep", "stopword_keep", "keep"}
+    assert fam <= set(bank.columns)
+    assert "filter_bank" in stats
+    rates = stats["filter_bank"]
+    assert rates["n_docs"] == 120 - n_blocked
+    # AND-composition invariant holds in the recorded rates
+    assert rates["n_keep"] <= min(
+        rates[f"n_{c}"] for c in fam if c != "keep"
     )
     # commit buckets are keyed on the CANONICAL url: every row's bucket
     # dir must equal pmod(xxhash64(url_norm), buckets), so recrawl
@@ -151,3 +165,46 @@ def test_spark_submit_merge_recrawl(spark, tmp_path):
     assert {u: s for u, s in a.items() if u != target_url} == {
         u: s for u, s in b.items() if u != target_url
     }
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_curate_langless(spark, tmp_path):
+    """ADVICE r4 (medium): job.py --curate on a pages table WITHOUT a
+    lang column (job.py adds lang to meta_cols only when present) must
+    run end-to-end — the recipe projects an explicit null lang instead
+    of failing with an unresolved-column AnalysisException after the
+    scoring work is done."""
+    sys.path.insert(0, REPO)
+    from metadata_quality_stack_spark.sources.pages import generate_pages
+    from tools.build_pyfiles import build
+
+    zip_path = build(str(tmp_path / "engine.zip"))
+    pdf = generate_pages(80, seed=11).drop(columns=["row_class", "lang"])
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(pdf).repartition(2).write.parquet(pages_dir)
+
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "job.py"),
+            "--input", pages_dir, "--output", out_dir, "--buckets", "2",
+            "--curate", str(tmp_path / "curated"),
+            "--filter-bank", str(tmp_path / "bank"),
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [line for line in proc.stdout.splitlines() if line.startswith("{")][-1]
+    )
+    assert stats["rows"] == 80
+    assert stats["curated"] > 0
+    from pyspark.sql import functions as F
+
+    curated = spark.read.parquet(str(tmp_path / "curated"))
+    assert curated.count() == stats["curated"]
+    # lang rides through as an explicit null column, shape-stable
+    assert "lang" in curated.columns
+    assert curated.filter(F.col("lang").isNotNull()).count() == 0

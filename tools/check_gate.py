@@ -39,6 +39,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_drift(sp_raw: pd.DataFrame, dk_raw: pd.DataFrame) -> list:
+    """Pre-normalization dtype drift between the two raw frames:
+    [(col, spark_dtype, duckdb_dtype), ...]. datetime64 RESOLUTION
+    ([ns] vs [us]) is exempt — a pandas artifact of the two fetch
+    paths, not a difference either engine emits (same exemption the
+    normalize() [us] coercion encodes)."""
+    drifted = []
+    for c in sorted(set(sp_raw.columns) & set(dk_raw.columns)):
+        sd, dd = str(sp_raw[c].dtype), str(dk_raw[c].dtype)
+        both_dt = sd.startswith("datetime64") and dd.startswith("datetime64")
+        if sd != dd and not both_dt:
+            drifted.append((c, sd, dd))
+    return drifted
+
+
 def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark(master="local[8]")
@@ -66,13 +81,20 @@ def main() -> int:
             continue
         try:
             dk_raw = con.execute(oracles[name]).fetchdf()
-            # surface pre-normalization dtype drift (e.g. DuckDB HUGEINT ->
-            # float64/object) that the int64 coercion below would hide but
-            # the driver's value hash does not
-            for c in sorted(set(sp_raw.columns) & set(dk_raw.columns)):
-                sd, dd = str(sp_raw[c].dtype), str(dk_raw[c].dtype)
-                if sd != dd and not (sd == "object" and dd == "object"):
-                    print(f"WARN {name}: dtype drift col {c}: spark={sd} duckdb={dd}")
+            # pre-normalization dtype drift (e.g. DuckDB HUGEINT ->
+            # float64/object) is a FAILURE, not a warning: the int64
+            # coercion below would hide it, but the driver's value hash
+            # sees the raw dtypes — a drift the replica tolerates is a
+            # latent driver red (VERDICT r4 'What's wrong #3')
+            drifted = dtype_drift(sp_raw, dk_raw)
+            if drifted:
+                for c, sd, dd in drifted:
+                    print(
+                        f"FAIL {name}: dtype drift col {c}: "
+                        f"spark={sd} duckdb={dd}"
+                    )
+                failures.append(name)
+                continue
             dk = normalize(dk_raw)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
