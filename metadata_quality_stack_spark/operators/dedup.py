@@ -63,6 +63,24 @@ MINHASH_A = [1099087573, 1299709, 15485863, 32452843,
 MINHASH_B = [(k * 2654435761) % MINHASH_M for k in range(8)]
 
 
+def _minhash_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Affine coefficients for a k-hash family. The first 8 A's are the
+    literal primes above — every committed oracle replays exactly those,
+    so they can never change. Beyond 8 (production-k runs: k=128 for the
+    published S-curve) A extends by a fixed LCG over the same modulus:
+    deterministic, documented, and cheap to replicate in any engine.
+    A stays < 2^31 so A*base stays int64-safe."""
+    a = list(MINHASH_A[:n_hashes])
+    x = MINHASH_A[-1]
+    while len(a) < n_hashes:
+        x = (x * 1299721 + 104729) % MINHASH_M
+        if x == 0:  # degenerate hash (constant) — skip
+            continue
+        a.append(x)
+    b = [(k * 2654435761) % MINHASH_M for k in range(n_hashes)]
+    return a, b
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """MinHash over 3-word shingles with a universal affine hash family
     over a 28-bit md5-derived base (numeric min; empty shingles -> NULL).
@@ -81,10 +99,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
         F.substring(F.md5(F.encode(F.col("s"), "UTF-8")), 1, 7), 16, 10
     ).cast("long")
     with_base = ex.select("doc_id", base.alias("base"))
+    coeff_a, coeff_b = _minhash_coeffs(n_hashes)
     return with_base.groupBy("doc_id").agg(
         *[
             F.min(
-                (F.lit(MINHASH_A[k]) * F.col("base") + F.lit(MINHASH_B[k]))
+                (F.lit(coeff_a[k]) * F.col("base") + F.lit(coeff_b[k]))
                 % F.lit(MINHASH_M)
             ).alias(f"mh{k}")
             for k in range(n_hashes)
@@ -92,7 +111,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     )
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(
+    docs: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
     """LSH banding: band bucket = md5(concat of the band's minhashes).
     Output one row per (doc, band) — the shuffle-side key for candidate join.
 
@@ -102,19 +123,23 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     bucket self-join in minhash_candidate_pairs goes quadratic on exactly
     that bucket. Short docs belong to exact dedup (exact_dedup_groups),
     not LSH; they come out of dedup_clusters as singletons."""
-    sigs = minhash_signatures(docs).filter(F.col("mh0").isNotNull())
-    return _bands_from_sigs(sigs)
+    sigs = minhash_signatures(docs, n_hashes=n_hashes).filter(
+        F.col("mh0").isNotNull()
+    )
+    return _bands_from_sigs(sigs, n_hashes=n_hashes, n_bands=n_bands)
 
 
-def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
+def _bands_from_sigs(
+    sigs: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
     """Banding over an already-computed signature frame — callers that
     need both signatures and bands (minhash_jaccard_estimate) compute the
     shingle+hash pass ONCE and band from it, instead of paying the full
     signature scan twice; identical subtrees also let ReuseExchange
     collapse the shuffle when both appear in one plan."""
-    rows_per_band = N_MINHASH // N_BANDS
+    rows_per_band = n_hashes // n_bands
     band_cols = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         parts = [
             F.coalesce(F.col(f"mh{b * rows_per_band + i}").cast("string"), F.lit(""))
             for i in range(rows_per_band)
@@ -130,9 +155,13 @@ def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
     """Docs sharing any LSH band bucket (self-join on bucket, d1 < d2)."""
-    return _pairs_from_bands(minhash_bands(docs))
+    return _pairs_from_bands(
+        minhash_bands(docs, n_hashes=n_hashes, n_bands=n_bands)
+    )
 
 
 def _pairs_from_bands(bands: DataFrame) -> DataFrame:
@@ -1089,12 +1118,20 @@ WHERE b.n_lines > 0
 """
 
 
-def dedup_audit(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+def dedup_audit(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """LSH parameter audit: recall/precision of the MinHash banding
     candidates against exact n-gram-Jaccard ground truth — the number
     an operator checks before trusting a banded dedup run at scale
     (bands/rows trade recall against candidate volume; this measures
     the operating point on real data instead of the S-curve formula).
+    ``n_hashes``/``n_bands`` select the operating point: the gate runs
+    the oracle-pinned k=8 default; tools/lsh_operating_point.py sweeps
+    production-k (k=128) and publishes the curve in BENCH/BASELINE.md.
 
     Input is expected pre-capped by the caller (the exact stage is the
     quadratic one — same contract as ngram_jaccard_pairs); production
@@ -1106,9 +1143,9 @@ def dedup_audit(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     truth = ngram_jaccard_pairs(docs, threshold).select(
         "d1", "d2", F.lit(1).alias("_t")
     )
-    cand = minhash_candidate_pairs(docs).select(
-        "d1", "d2", F.lit(1).alias("_c")
-    )
+    cand = minhash_candidate_pairs(
+        docs, n_hashes=n_hashes, n_bands=n_bands
+    ).select("d1", "d2", F.lit(1).alias("_c"))
     j = truth.join(cand, ["d1", "d2"], "full_outer")
     hit = "CASE WHEN _t IS NOT NULL AND _c IS NOT NULL THEN 1 ELSE 0 END"
     return j.agg(

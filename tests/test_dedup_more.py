@@ -40,3 +40,56 @@ def test_dedup_audit_empty_truth(spark):
     r = dedup.dedup_audit(docs, threshold=0.9).collect()[0]
     assert r.n_truth_pairs == 0
     assert r.recall_ppm is None  # NULL, not a fake 0/0 number
+
+
+def test_minhash_coeff_family_prefix_stable():
+    """The first 8 affine coefficients are the literal primes every
+    committed oracle replays — extending to production k must never
+    change them; the extension is deterministic and int64-safe."""
+    from metadata_quality_stack_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_M,
+        _minhash_coeffs,
+    )
+
+    a8, b8 = _minhash_coeffs(8)
+    assert a8 == MINHASH_A
+    a128, b128 = _minhash_coeffs(128)
+    assert a128[:8] == MINHASH_A and b128[:8] == b8
+    assert len(a128) == len(set(a128)) == 128  # no collisions, no zeros
+    assert all(0 < a < MINHASH_M for a in a128)
+    # replay determinism
+    assert _minhash_coeffs(128) == (a128, b128)
+
+
+def test_production_k_banding_more_precise_than_gate_k(spark):
+    """k=128 x 16 bands (rows-per-band 8) must admit a SUBSET of the
+    k=8 x 4 (rows-per-band 2) candidates on the same corpus: longer
+    bands make bucket agreement strictly harder, which is the whole
+    point of paying for the wider signature at production scale."""
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a completely different document about spark dataflow"),
+            (4, "a completely different document about spark dataflow"),
+            (5, "unrelated text with nothing shared at all here folks"),
+        ],
+        "doc_id long, text string",
+    )
+    wide = {
+        (r.d1, r.d2)
+        for r in dedup.minhash_candidate_pairs(
+            docs, n_hashes=128, n_bands=16
+        ).collect()
+    }
+    narrow = {
+        (r.d1, r.d2)
+        for r in dedup.minhash_candidate_pairs(docs).collect()
+    }
+    assert wide <= narrow
+    assert (3, 4) in wide  # exact dups always collide in every band
