@@ -239,10 +239,13 @@ LEFT JOIN (SELECT dst, count(*) AS in_edges, sum(w)::BIGINT AS in_weight
 """
 
 
-def domain_pagerank_sql(n_iter: int = PR_ITER, table: str = "documents") -> str:
+def _power_iterate_sql(prelude_ctes: str, n_iter: int) -> str:
+    """Shared power-iteration SQL: ``prelude_ctes`` must define CTEs
+    nodes(node), nn(n), edges(src, dst, w), outdeg(src, outdeg) — the
+    same contract :func:`_power_iterate` has on the Spark side."""
     base = f"(({100 - PR_DAMP_NUM} * {PR_M}) // ({PR_DAMP_DEN} * nn.n))"
     parts = [
-        _graph_ctes(table),
+        prelude_ctes,
         f"r0 AS MATERIALIZED (SELECT node, ({PR_M} // nn.n) AS r "
         f"FROM nodes CROSS JOIN nn)",
     ]
@@ -263,3 +266,145 @@ def domain_pagerank_sql(n_iter: int = PR_ITER, table: str = "documents") -> str:
         f"WITH {','.join(parts)}\n"
         f"SELECT node, r::BIGINT AS rank_micro FROM r{n_iter}"
     )
+
+
+def domain_pagerank_sql(n_iter: int = PR_ITER, table: str = "documents") -> str:
+    return _power_iterate_sql(_graph_ctes(table), n_iter)
+
+
+# ----------------------------------------------------------------------
+# Real-href chain (VERDICT r4 #8): link extraction -> graph -> rank as
+# ONE oracle-checked path. The synthetic testdata has no hyperlinks, so
+# pages_with_links derives deterministic html (with a <nav> block of
+# real anchors) from the documents table — same target-selection rule
+# as domain_edges, but routed through REAL page bytes so
+# sources/pages.extract_links_column's href parse, normalize_url's
+# canonicalization (scheme/www./tracking-param stripping) and domain_of
+# all sit on the gate-verified path.
+# ----------------------------------------------------------------------
+def pages_with_links(docs: DataFrame) -> DataFrame:
+    """(url, html binary) fixture pages: every doc links to two other
+    observed domains (doc_id-strided over the sorted domain set — the
+    domain_edges rule), href #1 with an https://www. prefix (exercises
+    scheme+www stripping), href #2 with a utm_source tracking param
+    (exercises param stripping); an anchor OUTSIDE the nav block must
+    never be extracted, and every 10th page has no nav at all (the
+    empty-links branch)."""
+    doms = (
+        docs.filter(F.col("source").isNotNull())
+        .agg(F.array_sort(F.collect_set("source")).alias("ds"))
+    )
+    j = (
+        docs.filter(F.col("source").isNotNull())
+        .select("doc_id", "source")
+        .crossJoin(F.broadcast(doms))
+    )
+    stride = "greatest(size(ds) - 1, 1)"
+    idx = "(array_position(ds, source) - 1)"
+    t1 = F.expr(
+        f"element_at(ds, cast((({idx} + 1 + doc_id % {stride})"
+        f" % size(ds)) + 1 as int))"
+    )
+    t2 = F.expr(
+        f"element_at(ds, cast((({idx} + 1 + (doc_id div 7) % {stride})"
+        f" % size(ds)) + 1 as int))"
+    )
+    nav = F.concat(
+        F.lit('<nav><a href="https://www.'),
+        t1,
+        F.lit("/a/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a><a href="http://'),
+        t2,
+        F.lit('/b?utm_source=z&q=1">y</a></nav>'),
+    )
+    html = F.concat(
+        F.lit("<html>"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("")).otherwise(nav),
+        F.lit('<main><a href="https://outside.example.com/x">o</a></main></html>'),
+    )
+    return j.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def real_link_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst, w) edges from the REAL href parse over the fixture
+    pages — page_link_edges (decode html -> nav hrefs -> canonical
+    domain both sides) on bytes derived deterministically from the
+    documents table."""
+    return page_link_edges(pages_with_links(docs))
+
+
+def pagerank_real_links(docs: DataFrame, n_iter: int = PR_ITER) -> DataFrame:
+    """PageRank over the REAL extracted link graph of the fixture pages:
+    the full chain html bytes -> href parse -> URL canonicalization ->
+    domain edges -> integer-micro power iteration, oracle-checked as one
+    query (the DuckDB mirror replays the href regex and the normalize
+    chain, not just the arithmetic)."""
+    return pagerank_from_pages(pages_with_links(docs), n_iter=n_iter)
+
+
+def _real_link_ctes(table: str = "documents") -> str:
+    """DuckDB mirror of pages_with_links + the href parse + both URL
+    canonicalizations, ending in edges(src, dst, w) — the prelude for
+    the shared SQL readouts."""
+    from metadata_quality_stack_spark.operators.urlops import (
+        normalize_url_sql,
+    )
+
+    def dom(url_expr: str) -> str:
+        return (
+            f"regexp_replace(regexp_extract({normalize_url_sql(url_expr)}, "
+            f"'^([^/?&]+)', 1), ':[0-9]+$', '')"
+        )
+
+    return f"""doms AS MATERIALIZED (
+  SELECT array_agg(DISTINCT source ORDER BY source) AS ds
+  FROM {table} WHERE source IS NOT NULL),
+pages AS MATERIALIZED (
+  SELECT 'https://' || d.source || '/p/' || d.doc_id AS url,
+    '<html>' || CASE WHEN d.doc_id % 10 = 0 THEN '' ELSE
+      '<nav><a href="https://www.' ||
+      ds[(((list_position(ds, d.source) - 1 + 1
+            + d.doc_id % greatest(len(ds) - 1, 1)) % len(ds)) + 1)::INT]
+      || '/a/' || d.doc_id || '">x</a><a href="http://' ||
+      ds[(((list_position(ds, d.source) - 1 + 1
+            + (d.doc_id // 7) % greatest(len(ds) - 1, 1)) % len(ds)) + 1)::INT]
+      || '/b?utm_source=z&q=1">y</a></nav>' END ||
+      '<main><a href="https://outside.example.com/x">o</a></main></html>'
+      AS html
+  FROM {table} d CROSS JOIN doms
+  WHERE d.source IS NOT NULL),
+hrefs AS MATERIALIZED (
+  SELECT url,
+    unnest(regexp_extract_all(
+      regexp_extract(html, '<nav>(.*)</nav>', 1), 'href="([^"]+)"', 1))
+      AS href
+  FROM pages WHERE contains(html, '<nav>')),
+edges AS MATERIALIZED (
+  SELECT {dom('url')} AS src, {dom('href')} AS dst, count(*) AS w
+  FROM hrefs GROUP BY 1, 2)"""
+
+
+def real_link_edges_sql(table: str = "documents") -> str:
+    return f"""WITH {_real_link_ctes(table)}
+SELECT src, dst, w::BIGINT AS w FROM edges
+"""
+
+
+def pagerank_real_links_sql(
+    n_iter: int = PR_ITER, table: str = "documents"
+) -> str:
+    prelude = f"""{_real_link_ctes(table)},
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"""
+    return _power_iterate_sql(prelude, n_iter)

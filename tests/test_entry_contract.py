@@ -5,10 +5,12 @@ that steers the driver's ~50-query verification window is well-formed."""
 
 import __spark_entry__ as entry
 
-# the model-UDF pipeline is the single rows-only query by design
-# (langid/perplexity UDFs are not SQL-expressible; parity is pinned by
-# tests/test_pipeline_f1.py against the pure-pandas oracle)
-ROWS_ONLY = {"full_pipeline"}
+# r5: the rows-only set is EMPTY — `full_pipeline` (model-UDF pipeline,
+# no SQL oracle) was retired once `full_pipeline_micro` gave the complete
+# keep/drop pipeline a hash-matched DuckDB replay and test_pipeline_f1
+# pinned the production UDF twin at F1 = 1.0; every remaining query has
+# a full value-hash oracle
+ROWS_ONLY = set()
 
 
 def test_every_query_has_an_oracle():
@@ -51,7 +53,7 @@ def test_priority_is_self_aiming():
 def test_driver_verified_reads_round_files():
     v = entry._driver_verified()
     # r01-r03 are committed: the long-green core families must be in it
-    for name in ("quality_scores", "exact_dedup", "tpch_q1", "full_pipeline"):
+    for name in ("quality_scores", "exact_dedup", "tpch_q1"):
         assert name in v, name
 
 
