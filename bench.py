@@ -90,8 +90,9 @@ def main() -> None:
         ``hunt_budget`` extra runs with a pause first — storms arrive at
         ~minute cadence, so waiting beats re-running into the same one;
         measured quiet-vs-storm drift is 1.6-8x on the same binary.
-        Returns (best_sec, best_steal_jiffies, extra_runs_taken)."""
-        best, best_steal, extra = None, 0, 0
+        Returns (best_sec, best_steal_jiffies, best_load_1m,
+        extra_runs_taken)."""
+        best, best_steal, best_load, extra = None, 0, 0.0, 0
         n = 0
         while n < runs or (best_steal > 15 and extra < hunt_budget):
             if n >= runs:
@@ -104,16 +105,24 @@ def main() -> None:
             run_steal = _steal() - s0
             if best is None or dt < best:
                 best, best_steal = dt, run_steal
-        return best, best_steal, extra
+                # load_1m at the end of the best run: steal only counts
+                # hypervisor preemption — in-host neighbor load shows up
+                # here instead (r5: pipeline 4.15 s at 7 steal but load
+                # 17.9 vs 3.3 s quiet — the record must explain both)
+                best_load = round(os.getloadavg()[0], 1)
+        return best, best_steal, best_load, extra
+
+    load_best: dict[str, float] = {}
 
     def bench(name, df_fn, runs: int = 3):
         # every query hunts for a quiet window (r4 extended this beyond
         # the flagship: the micro-queries were the ones a storm polluted)
-        best, st, extra = timed_best(
+        best, st, ld, extra = timed_best(
             lambda: _noop(df_fn()), runs, hunt_budget=3
         )
         timings[name] = round(best, 3)
         steal_best[name] = st
+        load_best[name] = ld
         quiet_retries[name] = extra
 
     bench(
@@ -159,7 +168,7 @@ def main() -> None:
     )
     # best-of-2 with a 1-retry quiet hunt: single runs proved
     # steal-polluted, and at ~26 s/run a deep hunt costs too much
-    micro_dt, micro_steal, micro_extra = timed_best(
+    micro_dt, micro_steal, micro_load, micro_extra = timed_best(
         lambda: _noop(micro_lm.full_pipeline_micro(micro_src)),
         runs=2,
         hunt_budget=1,
@@ -182,7 +191,7 @@ def main() -> None:
         F.length("text").cast("long").alias("n_chars"),
     )
     rec_meta = {"lang": "lang", "source": "source", "n_chars": "n_chars"}
-    rec_dt, rec_steal, rec_extra = timed_best(
+    rec_dt, rec_steal, rec_load, rec_extra = timed_best(
         lambda: _noop(curation_recipe(rec_src, meta_cols=rec_meta)),
         runs=2,
         hunt_budget=1,
@@ -204,15 +213,18 @@ def main() -> None:
                 # quiet-hunt retries it took: the record distinguishes an
                 # engine regression from neighbor noise by itself
                 "steal_jiffies": steal_best,
+                "load_1m_best": load_best,
                 "quiet_retries": quiet_retries,
                 "pipeline_steal_jiffies": steal_best["quality_pipeline_full"],
                 "micro_pipeline_sec": round(micro_dt, 3),
                 "micro_pipeline_docs_per_sec": round(n_docs / micro_dt, 1),
                 "micro_pipeline_steal_jiffies": micro_steal,
+                "micro_pipeline_load_1m": micro_load,
                 "micro_pipeline_quiet_retries": micro_extra,
                 "curation_recipe_sec": round(rec_dt, 3),
                 "curation_recipe_docs_per_sec": round(n_docs / rec_dt, 1),
                 "curation_recipe_steal_jiffies": rec_steal,
+                "curation_recipe_load_1m": rec_load,
                 "curation_recipe_quiet_retries": rec_extra,
                 "load_1m": round(os.getloadavg()[0], 1),
             }
