@@ -531,6 +531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_real_links"] = lambda s, d: graph.pagerank_real_links(
         _t(s, d, "documents")
     )
+    # dangling-mass redistribution (the classic fix the raw iteration
+    # documents as omitted): sink-pruned fixture graph, per-round 1-row
+    # dangling aggregate, mass conserved up to div remainders
+    q["pagerank_dangling_mass"] = lambda s, d: graph.pagerank_dangling_mass(
+        _t(s, d, "documents")
+    )
     # content-defined chunking (LBFS rolling-hash boundaries): per-doc
     # chunk readout, map-only; integer polynomial window hash
     q["cdc_chunk_stats"] = lambda s, d: cdc.cdc_chunk_stats(
@@ -954,6 +960,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quality-aware representative: keep the longest member per cluster
     q["fuzzy_dedup_keep_best"] = lambda s, d: dedup.fuzzy_dedup_keep_best(
         _t(s, d, "documents")
+    )
+    # PRODUCTION operating point (r5): candidate pairs at k=128 x 16
+    # bands — the configuration BENCH/BASELINE.md publishes (recall 1.0,
+    # precision 1.0 on sf0.1) — gate-verified, not just benchmarked; the
+    # oracle replays all 128 generated affine hashes + 16 band md5s
+    q["fuzzy_candidates_k128"] = lambda s, d: dedup.minhash_candidate_pairs(
+        _t(s, d, "documents"), n_hashes=128, n_bands=16
     )
 
     # RETIRED r5: the rows-only `full_pipeline` query (model-UDF pipeline,
@@ -1573,6 +1586,7 @@ SELECT doc_id, source FROM (
     o["domain_pagerank"] = graph.domain_pagerank_sql()
     o["real_link_edges"] = graph.real_link_edges_sql()
     o["pagerank_real_links"] = graph.pagerank_real_links_sql()
+    o["pagerank_dangling_mass"] = graph.pagerank_dangling_mass_sql()
     o["cdc_chunk_stats"] = cdc.cdc_chunk_stats_sql()
     o["cdc_dedup_ratio"] = cdc.cdc_dedup_ratio_sql()
     from metadata_quality_stack_spark.sources.cdc_index import (
@@ -1808,6 +1822,9 @@ FROM documents
         "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
         "AND a.doc_id < b.doc_id"
+    )
+    o["fuzzy_candidates_k128"] = dedup.minhash_candidate_pairs_sql(
+        n_hashes=128, n_bands=16
     )
     agree_sum = " + ".join(
         f"CASE WHEN s1.mh{k} = s2.mh{k} THEN 1 ELSE 0 END"

@@ -1159,3 +1159,54 @@ def dedup_audit(
         .cast("long")
         .alias("precision_ppm"),
     )
+
+
+def minhash_bands_cte_sql(
+    table: str = "documents",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> str:
+    """DuckDB CTE prelude replaying signatures + banding at ANY
+    operating point (same generated coefficient family as
+    :func:`_minhash_coeffs`, same md5 bucket rule) — ends in
+    bands(doc_id, band, bucket). The k=8 gate oracles keep their
+    hand-written twin in __spark_entry__; this builder exists so the
+    PRODUCTION operating point (k=128 x 16 bands) is gate-verifiable
+    too, not just benchmarked."""
+    coeff_a, coeff_b = _minhash_coeffs(n_hashes)
+    sh = shingles_sql()
+    mh_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"({coeff_a[k]} * ('0x' || substr(md5(s), 1, 7))::BIGINT "
+        f"+ {coeff_b[k]}) % {MINHASH_M})) AS mh{k}"
+        for k in range(n_hashes)
+    )
+    rpb = n_hashes // n_bands
+    band_selects = []
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"coalesce(CAST(mh{b * rpb + i} AS VARCHAR), '')"
+            for i in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig "
+            "WHERE mh0 IS NOT NULL"
+        )
+    return (
+        f"WITH sh AS (SELECT doc_id, {sh} AS shingles FROM {table}),\n"
+        f"sig AS (SELECT doc_id, {mh_cols} FROM sh),\n"
+        f"bands AS ({' UNION ALL '.join(band_selects)})"
+    )
+
+
+def minhash_candidate_pairs_sql(
+    table: str = "documents",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> str:
+    return (
+        f"{minhash_bands_cte_sql(table, n_hashes, n_bands)} "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id"
+    )

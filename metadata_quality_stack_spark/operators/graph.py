@@ -408,3 +408,109 @@ nodes AS MATERIALIZED (
 nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
 outdeg AS MATERIALIZED (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"""
     return _power_iterate_sql(prelude, n_iter)
+
+
+# ----------------------------------------------------------------------
+# Dangling-mass PageRank (r5): the classic fix the raw iteration above
+# documents as omitted. Sink nodes (no out-edges) leak their rank in raw
+# power iteration; here their mass redistributes uniformly each round:
+#   r'(v) = (15*M) div (100*n) + (85 * (sum_in(v) + dang div n)) div 100
+# with dang = sum of r over sink nodes — one extra 1-row aggregate per
+# round (bounded state, broadcast), everything still integer micros so
+# both engines emit identical bits.
+# ----------------------------------------------------------------------
+def sink_pruned_edges(docs: DataFrame) -> DataFrame:
+    """The synthetic domain graph with every 4th domain's OUT-edges
+    dropped (sorted-index rule, same expression both engines) — a
+    deterministic fixture that actually HAS sinks, since the base
+    synthetic graph gives every domain an out-edge."""
+    nodes = domain_nodes(docs)
+    return (
+        domain_edges(docs)
+        .join(
+            F.broadcast(nodes.withColumnRenamed("node", "src")), "src"
+        )
+        .filter(F.col("idx") % 4 != 0)
+        .select("src", "dst", "w")
+    )
+
+
+def pagerank_dangling_mass(docs: DataFrame, n_iter: int = PR_ITER) -> DataFrame:
+    """(node, rank_micro) over the sink-pruned graph with per-round
+    dangling-mass redistribution. Total mass is conserved up to the
+    integer-division remainders (n per div), unlike the raw iteration
+    where sinks leak ~their whole rank each round."""
+    nodes = domain_nodes(docs).select("node")
+    edges = sink_pruned_edges(docs)
+    n = nodes.agg(F.count("*").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    base = F.expr(f"({100 - PR_DAMP_NUM} * {PR_M}) div ({PR_DAMP_DEN} * n)")
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{PR_M} div n").alias("r")
+    )
+    for _ in range(n_iter):
+        withdeg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
+        contrib = withdeg.filter(F.col("outdeg").isNotNull()).select(
+            "src", F.expr("r div outdeg").alias("c")
+        )
+        dang = withdeg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
+        )
+        sum_in = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("c")).alias("s"))
+        )
+        ranks = (
+            nodes.join(sum_in, nodes.node == sum_in.dst, "left")
+            .crossJoin(F.broadcast(n))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * (coalesce(s, 0) + dang div n))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").cast("long").alias("rank_micro"))
+
+
+def pagerank_dangling_mass_sql(
+    n_iter: int = PR_ITER, table: str = "documents"
+) -> str:
+    base = f"(({100 - PR_DAMP_NUM} * {PR_M}) // ({PR_DAMP_DEN} * nn.n))"
+    parts = [
+        _graph_ctes(table),
+        """edges_p AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM edges e
+  JOIN nodes s ON e.src = s.node WHERE s.idx % 4 <> 0),
+outdeg_p AS MATERIALIZED (
+  SELECT src, sum(w) AS outdeg FROM edges_p GROUP BY src)""",
+        f"r0 AS MATERIALIZED (SELECT node, ({PR_M} // nn.n) AS r "
+        f"FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(p.r), 0) AS dang FROM r{k - 1} p
+  LEFT JOIN outdeg_p o ON o.src = p.node WHERE o.src IS NULL),
+r{k} AS MATERIALIZED (
+  SELECT n.node,
+    {base} + ({PR_DAMP_NUM} * (coalesce(si.s, 0) + dd.dang // nn.n))
+      // {PR_DAMP_DEN} AS r
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} dd
+  LEFT JOIN (
+    SELECT e.dst, sum(e.w * (p.r // o.outdeg)) AS s
+    FROM edges_p e
+    JOIN r{k - 1} p ON p.node = e.src
+    JOIN outdeg_p o ON o.src = e.src
+    GROUP BY e.dst) si ON si.dst = n.node)"""
+        )
+    return (
+        f"WITH {','.join(parts)}\n"
+        f"SELECT node, r::BIGINT AS rank_micro FROM r{n_iter}"
+    )

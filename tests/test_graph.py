@@ -138,3 +138,49 @@ def test_pagerank_from_pages_runs_and_conserves_order(spark):
     assert len(ranks) >= 2
     # the Zipf head domain receives the most links -> highest rank
     assert max(ranks, key=ranks.get) == "big.example.com"
+
+
+def test_dangling_mass_redistribution_conserves_rank(spark):
+    """Raw power iteration LEAKS sink rank; the dangling-mass variant
+    redistributes it. On the sink-pruned fixture graph (every 4th domain
+    emits nothing) the dangling totals must stay within the integer-
+    division truncation bound, and strictly above what the raw update
+    would retain."""
+    docs = spark.read.parquet(DOCS)
+    nodes = graph.domain_nodes(docs)
+    n = nodes.count()
+    sinks = {
+        r.node for r in nodes.filter(F.col("idx") % 4 == 0).collect()
+    }
+    assert sinks, "fixture must actually have sinks"
+    ranks = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_dangling_mass(docs).collect()
+    }
+    total = sum(ranks.values())
+    # per round, each node's update truncates at most a few micros
+    # (contrib div, dang div n, damping div) — bound the leak
+    assert graph.PR_M - 20 * graph.PR_ITER * n <= total <= graph.PR_M
+    # raw iteration over the SAME pruned graph leaks the sinks' mass
+    raw = graph._power_iterate(
+        nodes.select("node"), graph.sink_pruned_edges(docs)
+    )
+    raw_total = sum(r.rank_micro for r in raw.collect())
+    leaked = sum(ranks[s] for s in sinks) * graph.PR_DAMP_NUM // 100
+    assert total - raw_total > leaked // 2  # conservation is material
+
+
+def test_real_link_edges_text_never_shuffles(spark):
+    """The href parse happens scan-side: the Exchange under the
+    (src, dst) count carries canonical domains only — html bytes never
+    move (the 100 TB contract for link extraction)."""
+    docs = spark.read.parquet(DOCS)
+    plan = (
+        graph.real_link_edges(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert ex, "expected the (src, dst) aggregation exchange"
+    assert all("html" not in ln for ln in ex)
