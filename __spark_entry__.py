@@ -947,6 +947,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
+    # same labels via alternating large-star/small-star (Kiveris 2014):
+    # O(log n) rounds vs label-prop's O(diameter) — the scale-grade CC
+    # for chain-shaped duplicate graphs; oracle is iteration-free
+    # recursive reachability, shared with dedup_clusters
+    q["cc_star_labels"] = lambda s, d: dedup.cc_star_labels(
+        _t(s, d, "documents")
+    )
     # dedup-audit readout: distribution of near-dup cluster sizes
     q["dedup_cluster_sizes"] = lambda s, d: dedup.cluster_size_histogram(
         _t(s, d, "documents")
@@ -1925,6 +1932,9 @@ reach(doc_id, cluster) AS (
 SELECT doc_id, min(cluster) AS cluster FROM reach GROUP BY doc_id
 """
     o["dedup_clusters"] = clusters_sql
+    # cc_star_labels converges to the SAME fixed point (min doc_id per
+    # component); the reachability oracle is algorithm-agnostic
+    o["cc_star_labels"] = clusters_sql
     o["dedup_cluster_sizes"] = f"""
 WITH labels AS ({clusters_sql}),
 sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY 1)

@@ -1210,3 +1210,121 @@ def minhash_candidate_pairs_sql(
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
         "AND a.doc_id < b.doc_id"
     )
+
+
+# ----------------------------------------------------------------------
+# Connected components via alternating large-star / small-star rounds
+# (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+# Components in MapReduce and Beyond", SoCC 2014). Same output contract
+# as dedup_clusters (cluster = min doc_id of the component) but the
+# round count is O(log n) instead of O(graph diameter): min-label
+# propagation pays one round PER HOP on chain-shaped duplicate graphs
+# (templated page series A~B~C~... where only adjacent pairs share an
+# LSH bucket), while the star rounds contract distance geometrically.
+# ----------------------------------------------------------------------
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over canonical (lo < hi) edges: every node u
+    re-points its STRICTLY LARGER neighbors at m = min(N(u) + {u}).
+    Each input edge is emitted exactly once (from its smaller endpoint),
+    so the edge count never grows; connectivity is preserved (Kiveris
+    2014, Lemma 1)."""
+    nbrs = edges.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v")
+    ).union(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    # v > u >= m, so (m, v) is already canonical and never a self-loop
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node u re-points its smaller-or-equal
+    neighborhood (which under the canonical orientation is exactly its
+    `lo` partners) plus itself at m = min of that neighborhood."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    joined = edges.join(mins, "hi")
+    star_center = joined.select(
+        F.col("m").alias("lo"), F.col("hi")
+    ).distinct()
+    re_pointed = (
+        joined.filter(F.col("lo") != F.col("m"))
+        .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+        .distinct()
+    )
+    return star_center.union(re_pointed).distinct()
+
+
+def star_components(
+    edges: DataFrame, max_iter: int = 20
+) -> tuple[DataFrame, int]:
+    """Run alternating large-star/small-star rounds over a canonical
+    (lo < hi) edge list to the fixed point; returns (star_edges,
+    rounds_used). At the fixed point the graph is a disjoint union of
+    stars centered at component minima (SoCC 2014, Thm 2). The
+    fixed-point probe is one (count, order-free checksum) aggregate per
+    round — two longs to the driver; xxhash64 is engine-internal but
+    only gates the STOP decision, never output values, so cross-engine
+    oracle parity is unaffected. localCheckpoint truncates lineage so
+    the plan stays round-independent."""
+    edges = edges.localCheckpoint(eager=True)
+    prev, rounds = None, 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        # bit_xor, not sum: order-free AND overflow-free under ANSI mode
+        # (a long sum of 64-bit hashes overflows and throws in Spark 4)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("lo", "hi")), F.lit(0)).alias(
+                "ck"
+            ),
+        ).collect()[0]
+        cur = (row.n, row.ck)
+        if cur == prev:
+            break
+        prev = cur
+    return edges, rounds
+
+
+def cc_star_labels(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster) labels for the MinHash-LSH candidate graph via
+    alternating large-star/small-star — the scale-grade twin of
+    dedup_clusters for graphs whose diameter is NOT small.
+
+    100 TB shape: state is only the canonical (lo, hi) edge list — two
+    longs per candidate edge, text and signatures long gone; each round
+    is two node-keyed hash-shuffles; the edge count never exceeds the
+    input candidate count (star rounds only re-point edges); the loop
+    early-stops at the fixed point detected by a count+checksum
+    aggregate (two longs to the driver per round); localCheckpoint
+    truncates lineage so the plan stays round-independent. At the fixed
+    point the graph is a disjoint union of stars centered at component
+    minima (SoCC 2014, Thm 2), so labels read off the edge list with
+    one final aggregation — no label table is carried between rounds,
+    which is the structural difference from dedup_clusters (labels
+    there, edges here).
+    """
+    pairs = minhash_candidate_pairs(docs)
+    edges = pairs.select(F.col("d1").alias("lo"), F.col("d2").alias("hi"))
+    stars, _rounds = star_components(edges, max_iter=max_iter)
+    labels = stars.groupBy("hi").agg(F.min("lo").alias("cluster"))
+    return (
+        docs.select("doc_id")
+        .join(
+            labels.select(F.col("hi").alias("doc_id"), "cluster"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )

@@ -93,3 +93,50 @@ def test_production_k_banding_more_precise_than_gate_k(spark):
     }
     assert wide <= narrow
     assert (3, 4) in wide  # exact dups always collide in every band
+
+
+def test_star_components_chain_converges_logarithmically(spark):
+    """A 64-node path graph is the adversarial case for min-label
+    propagation (63 rounds = the diameter); the large-star/small-star
+    alternation must contract it to one star on node 0 in O(log n)
+    rounds. This is the property that makes cc_star_labels the
+    scale-grade CC — template-series near-dup chains are exactly this
+    shape."""
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "lo long, hi long"
+    )
+    stars, rounds = dedup.star_components(chain, max_iter=20)
+    got = stars.collect()
+    assert {(r.lo, r.hi) for r in got} == {(0, i) for i in range(1, n)}
+    # fixed-point detection costs one extra confirming round
+    assert rounds <= 12, f"star rounds blew the log bound: {rounds}"
+
+
+def test_cc_star_matches_label_propagation(spark):
+    """Both CC algorithms must land on the identical fixed point
+    (cluster = min doc_id per component) over the real LSH candidate
+    graph of the sf0.001 documents table."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.doc_id, r.cluster) for r in dedup.cc_star_labels(docs).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster) for r in dedup.dedup_clusters(docs).collect()
+    }
+    assert a == b
+
+
+def test_star_components_empty_and_singleton(spark):
+    """Hostile inputs: an empty edge list must fix immediately, and
+    cc_star_labels must label every doc its own cluster when no
+    candidate pairs exist."""
+    empty = spark.createDataFrame([], "lo long, hi long")
+    stars, rounds = dedup.star_components(empty, max_iter=5)
+    assert stars.count() == 0 and rounds <= 2
+    lone = spark.createDataFrame(
+        [(1, "completely unique text that shares no shingles with anyone")],
+        "doc_id long, text string",
+    )
+    got = dedup.cc_star_labels(lone).collect()
+    assert [(r.doc_id, r.cluster) for r in got] == [(1, 1)]
