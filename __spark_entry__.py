@@ -537,6 +537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_dangling_mass"] = lambda s, d: graph.pagerank_dangling_mass(
         _t(s, d, "documents")
     )
+    # anchor-text aggregation over the real href parse: per target
+    # domain, what the web calls it (retrieval/labeling training signal);
+    # only (src, dst, text) triples enter the Exchange, never pages
+    q["anchor_text_stats"] = lambda s, d: graph.anchor_text_stats(
+        _t(s, d, "documents")
+    )
     # content-defined chunking (LBFS rolling-hash boundaries): per-doc
     # chunk readout, map-only; integer polynomial window hash
     q["cdc_chunk_stats"] = lambda s, d: cdc.cdc_chunk_stats(
@@ -1594,6 +1600,7 @@ SELECT doc_id, source FROM (
     o["real_link_edges"] = graph.real_link_edges_sql()
     o["pagerank_real_links"] = graph.pagerank_real_links_sql()
     o["pagerank_dangling_mass"] = graph.pagerank_dangling_mass_sql()
+    o["anchor_text_stats"] = graph.anchor_text_stats_sql()
     o["cdc_chunk_stats"] = cdc.cdc_chunk_stats_sql()
     o["cdc_dedup_ratio"] = cdc.cdc_dedup_ratio_sql()
     from metadata_quality_stack_spark.sources.cdc_index import (

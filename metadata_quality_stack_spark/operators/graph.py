@@ -514,3 +514,87 @@ r{k} AS MATERIALIZED (
         f"WITH {','.join(parts)}\n"
         f"SELECT node, r::BIGINT AS rank_micro FROM r{n_iter}"
     )
+
+
+# ----------------------------------------------------------------------
+# Anchor-text aggregation (r5): the other training signal in the link
+# graph. Per target domain, what the web CALLS it — anchor strings are
+# classic retrieval/labeling data (title generation, query-doc pairs).
+# Same scan discipline as page_link_edges: the html is parsed scan-side
+# into (src_domain, dst_domain, anchor_text) triples; only those triples
+# (bytes of anchor text, not pages) enter the Exchange.
+# ----------------------------------------------------------------------
+_ANCHOR_PAT = '<a href="([^"]+)">([^<]*)</a>'
+
+
+def anchor_text_triples(pages: DataFrame) -> DataFrame:
+    """(src, dst, anchor_text) per nav anchor — positional zip of the
+    href and text capture groups of the same regex, so the pair arrays
+    are always equal-length and null-free."""
+    from metadata_quality_stack_spark.operators.urlops import (
+        domain_of,
+        normalize_url,
+    )
+
+    s = F.decode(F.col("html"), "UTF-8")
+    nav = F.substring_index(F.substring_index(s, "</nav>", 1), "<nav>", -1)
+    has_nav = F.contains(s, F.lit("<nav>"))
+    empty = F.array().cast("array<string>")
+    hrefs = F.when(
+        has_nav, F.regexp_extract_all(nav, F.lit(_ANCHOR_PAT), 1)
+    ).otherwise(empty)
+    texts = F.when(
+        has_nav, F.regexp_extract_all(nav, F.lit(_ANCHOR_PAT), 2)
+    ).otherwise(empty)
+    return (
+        pages.select(
+            domain_of(normalize_url(F.col("url"))).alias("src"),
+            F.explode(
+                F.arrays_zip(hrefs.alias("href"), texts.alias("atext"))
+            ).alias("p"),
+        )
+        .select(
+            "src",
+            domain_of(normalize_url(F.col("p.href"))).alias("dst"),
+            F.col("p.atext").alias("anchor_text"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+
+
+def anchor_text_stats(docs: DataFrame) -> DataFrame:
+    """Per (target domain, anchor text): how many anchors carry that
+    text and from how many distinct source domains — run over the real
+    href parse of the fixture pages. One scan + one (dst, text) agg."""
+    triples = anchor_text_triples(pages_with_links(docs))
+    return triples.groupBy("dst", "anchor_text").agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("src").alias("n_src_domains"),
+    )
+
+
+def anchor_text_stats_sql(table: str = "documents") -> str:
+    from metadata_quality_stack_spark.operators.urlops import (
+        normalize_url_sql,
+    )
+
+    def dom(url_expr: str) -> str:
+        return (
+            f"regexp_replace(regexp_extract({normalize_url_sql(url_expr)}, "
+            f"'^([^/?&]+)', 1), ':[0-9]+$', '')"
+        )
+
+    nav = "regexp_extract(html, '<nav>(.*)</nav>', 1)"
+    return f"""WITH {_real_link_ctes(table)},
+anchors AS MATERIALIZED (
+  SELECT url,
+    unnest(regexp_extract_all({nav}, '{_ANCHOR_PAT}', 1)) AS href,
+    unnest(regexp_extract_all({nav}, '{_ANCHOR_PAT}', 2)) AS atext
+  FROM pages WHERE contains(html, '<nav>'))
+SELECT {dom('href')} AS dst, atext AS anchor_text,
+  count(*)::BIGINT AS n_anchors,
+  count(DISTINCT {dom('url')})::BIGINT AS n_src_domains
+FROM anchors
+WHERE {dom('href')} IS NOT NULL AND {dom('url')} IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -184,3 +184,27 @@ def test_real_link_edges_text_never_shuffles(spark):
     ]
     assert ex, "expected the (src, dst) aggregation exchange"
     assert all("html" not in ln for ln in ex)
+
+
+def test_anchor_text_triples_scope_and_shape(spark):
+    """Anchors outside <nav> must never be extracted (the fixture plants
+    one in <main> on every page); no-nav pages contribute nothing; the
+    href and text capture groups zip positionally."""
+    docs = spark.read.parquet(DOCS)
+    triples = graph.anchor_text_triples(graph.pages_with_links(docs))
+    texts = {r.anchor_text for r in triples.select("anchor_text").distinct().collect()}
+    assert texts == {"x", "y"}  # the <main> anchor text 'o' never leaks
+    assert "outside.example.com" not in {
+        r.dst for r in triples.select("dst").distinct().collect()
+    }
+    stats = graph.anchor_text_stats(docs)
+    row = stats.filter(F.col("anchor_text") == "x").agg(
+        F.sum("n_anchors").alias("n")
+    ).collect()[0]
+    # every page with a nav (9/10 of non-null-source docs) has one 'x' anchor
+    n_nav_pages = (
+        docs.filter(F.col("source").isNotNull())
+        .filter(F.col("doc_id") % 10 != 0)
+        .count()
+    )
+    assert row.n == n_nav_pages
