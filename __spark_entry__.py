@@ -725,6 +725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk"] = lambda s, d: retrieval.bm25_topk(
         _t(s, d, "documents"), BM25_QUERY, k=20
     )
+    # per-domain characteristic vocabulary: integer tf-idf (domain-level
+    # df), partitioned top-k window — "what is this source about"
+    q["domain_top_terms"] = lambda s, d: retrieval.domain_top_terms(
+        _t(s, d, "documents")
+    )
 
     # persistent inverted index: build -> probe (scratch dir); the
     # index is lossless so inline-BM25 SQL is the oracle
@@ -1661,6 +1666,7 @@ SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
     o["lexical_diversity"] = textops.lexical_diversity_sql()
     o["script_census"] = textops.script_census_sql()
     o["bm25_topk"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
+    o["domain_top_terms"] = retrieval.domain_top_terms_sql()
     o["text_index_topk"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
     o["text_index_incremental"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
     o["source_quality_filter"] = f"""

@@ -129,3 +129,87 @@ SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
 FROM sc GROUP BY doc_id
 ORDER BY score_micros DESC, doc_id ASC LIMIT {k}
 """
+
+
+def domain_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-domain characteristic vocabulary: top-``k`` terms by integer
+    tf-idf where df is counted over DOMAINS (not docs) — the curation
+    diagnostic for "what is this source actually about" before capping
+    or mixing it. Same gate-exact rational idf as BM25 (module
+    docstring), tf left raw (domain-level term counts are the signal).
+
+    Scale shape: the (source, term) census is map-side combined; the df
+    join is term-keyed on census rows (never text); the top-k window is
+    PARTITIONED by source so no global sort ever materializes.
+
+    Columns: source, term, tf, tfidf_micros, rnk.
+    """
+    from pyspark.sql import Window
+
+    lows = F.transform(
+        token_array(F.coalesce(F.col("text"), F.lit(""))),
+        lambda x: F.lower(x),
+    )
+    tok = (
+        docs.filter(F.col("source").isNotNull())
+        .select("source", F.explode(lows).alias("term"))
+    )
+    tfs = tok.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfs = tfs.groupBy("term").agg(
+        F.countDistinct("source").alias("df")
+    )
+    nd = docs.filter(F.col("source").isNotNull()).agg(
+        F.countDistinct("source").alias("n_domains")
+    )
+    idf = F.expr(
+        f"((2 * n_domains - 2 * df + 1) * {MICRO}) div (2 * df + 1)"
+    )
+    scored = (
+        tfs.join(dfs, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            "term",
+            "tf",
+            (F.col("tf") * idf).cast("long").alias("tfidf_micros"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf_micros"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def domain_top_terms_sql(k: int = 5, table: str = "documents") -> str:
+    from metadata_quality_stack_spark.operators.textops import _lows_sql
+
+    lows = _lows_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({lows}) AS term FROM {table}
+  WHERE source IS NOT NULL
+),
+tfs AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT source) AS df FROM tfs GROUP BY 1),
+nd AS (SELECT count(DISTINCT source) AS n_domains FROM {table}
+       WHERE source IS NOT NULL),
+sc AS (
+  SELECT source, term, tf,
+    tf * (((2 * n_domains - 2 * df + 1) * {MICRO}) // (2 * df + 1))
+      AS tfidf_micros
+  FROM tfs JOIN dfs USING (term) CROSS JOIN nd
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY tfidf_micros DESC, term ASC) AS rnk
+  FROM sc
+)
+SELECT source, term, tf::BIGINT AS tf,
+       tfidf_micros::BIGINT AS tfidf_micros, rnk::BIGINT AS rnk
+FROM rk WHERE rnk <= {k}
+"""

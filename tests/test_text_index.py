@@ -88,3 +88,40 @@ def test_engine_and_python_bucket_agree(spark):
 def test_bucket_math_stays_in_range(spark):
     assert 0 <= text_index._py_bucket("anything") < text_index.TERM_BUCKETS
     assert 0 <= text_index._py_bucket("ff" * 40) < text_index.TERM_BUCKETS
+
+
+def test_domain_top_terms_hostile_and_ranked(spark):
+    """Null source rows drop out; empty/whitespace text contributes no
+    terms; rnk is dense per source and tfidf is non-increasing within a
+    source; a domain-unique term outranks one every domain shares."""
+    from metadata_quality_stack_spark.operators.retrieval import (
+        domain_top_terms,
+    )
+
+    rows = [
+        (1, "a.com", "shared quantum quantum widgets"),
+        (2, "a.com", "shared widgets"),
+        (3, "b.com", "shared gardening"),
+        (4, "b.com", "   "),
+        (5, None, "shared orphan text"),
+        (6, "c.com", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = domain_top_terms(docs, k=3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    assert None not in by_src and "c.com" not in by_src
+    a = sorted(by_src["a.com"], key=lambda r: r.rnk)
+    # 'quantum'/'widgets' are a.com-only (df=1) and beat 'shared' (df=2);
+    # quantum tf=2 beats widgets tf=2? widgets appears twice too — tie
+    # broken by term asc
+    assert [r.term for r in a[:2]] == ["quantum", "widgets"]
+    assert a[0].tf == 2 and a[0].tfidf_micros >= a[1].tfidf_micros
+    for rs in by_src.values():
+        ranked = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in ranked] == list(range(1, len(ranked) + 1))
+        assert all(
+            x.tfidf_micros >= y.tfidf_micros
+            for x, y in zip(ranked, ranked[1:])
+        )
