@@ -48,20 +48,50 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio
 def domain_nodes(docs: DataFrame) -> DataFrame:
     """(node, idx): observed domains, densely indexed by sort order.
 
-    The unpartitioned row_number runs over the DISTINCT domain set
-    (~10^7 hosts for a full crawl — slim strings, fits one task), not
-    the documents; a corpus-sized input would need zipWithIndex-style
-    per-partition offsets instead."""
+    Scale-safe dense ranking (r5 — closes the r4 plan-audit note about
+    the unpartitioned window here): the distinct domain set (~10^7
+    hosts for a full crawl) never funnels through ONE row_number task.
+    Domains group by an ORDER-PRESERVING 2-char prefix bucket (a <= b
+    implies prefix(a) <= prefix(b), so buckets are contiguous slices of
+    the sort order and sort like their members), a per-bucket count
+    census — bounded by the prefix alphabet, the repo's usual
+    driver-sized exchange — becomes cumulative offsets, and the global
+    index is the within-bucket row_number plus the bucket's broadcast
+    offset: bit-identical to row_number() OVER (ORDER BY node) with no
+    global sort. A skewed prefix caps at one bucket per task; lengthen
+    the prefix to split further. Deterministic end to end (no range
+    sampler), so recomputation cannot drift from the census."""
     from pyspark.sql import Window
 
-    return (
+    nodes = (
         docs.filter(F.col("source").isNotNull())
         .select(F.col("source").alias("node"))
         .distinct()
-        .withColumn(
-            "idx",
-            F.row_number().over(Window.orderBy("node")) - 1,
+        .withColumn("bkt", F.substring("node", 1, 2))
+    )
+    census = sorted(
+        (r.bkt, r.c)
+        for r in nodes.groupBy("bkt").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, c in census:
+        offsets.extend((bkt, acc))
+        acc += c
+    off = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for x in offsets]), F.col("bkt")
         )
+        if offsets
+        else F.lit(0)
+    )
+    return (
+        nodes.withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("bkt").orderBy("node"))
+            - 1
+            + off,
+        )
+        .drop("bkt")
     )
 
 
