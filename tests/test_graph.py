@@ -208,3 +208,23 @@ def test_anchor_text_triples_scope_and_shape(spark):
         .count()
     )
     assert row.n == n_nav_pages
+
+
+def test_dense_rank_matches_global_sort_without_single_task(spark):
+    """r5 scale fix: domain_nodes indexes by global sort order via an
+    order-preserving prefix-bucket census — the result must be
+    bit-identical to row_number() OVER (ORDER BY node), and the plan
+    must contain NO SinglePartition exchange (the old global window
+    funneled every domain through one task). Fixture crosses bucket
+    boundaries, includes sub-prefix-length and non-ASCII names (UTF-8
+    byte order == code-point order, so Python's census sort agrees
+    with Spark's string ordering)."""
+    names = ["a", "ab", "abc", "aa", "b", "ba", "z", "zz.example",
+             "b", "émile.fr", "a9", "a-dash.net"]
+    docs = _docs(spark, [(i, s) for i, s in enumerate(names)])
+    nodes = graph.domain_nodes(docs)
+    got = {r.node: r.idx for r in nodes.collect()}
+    want = {n: i for i, n in enumerate(sorted(set(names)))}
+    assert got == want
+    plan = nodes._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
