@@ -1117,6 +1117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["decontaminate"] = lambda s, d: contamination.decontaminate(
         _t(s, d, "documents")
     )
+    # bloom-gated variant: the benchmark suite rides as a broadcast
+    # BITMAP (m/8 bytes) instead of a broadcast set — the 10^8-ngram
+    # eval-suite shape; train shingles score map-only, FPs only
+    # overcount (conservative pre-gate for the exact join)
+    q["decontaminate_bloom"] = lambda s, d: contamination.decontaminate_bloom(
+        _t(s, d, "documents")
+    )
 
     # -- relational coverage (joins, conditional agg)
     def tpch_q1(s: SparkSession, d: str) -> DataFrame:
@@ -2539,6 +2546,7 @@ SELECT 'merged' AS snap, url_norm, total_score, rating, keep FROM new_sc
     o["term_stats"] = textops.term_stats_sql()
     o["semantic_dedup"] = similarity.semantic_dedup_sql()
     o["decontaminate"] = contamination.decontaminate_sql()
+    o["decontaminate_bloom"] = contamination.decontaminate_bloom_sql()
 
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
     # union-tag window formulation (analytics.asof_join)

@@ -52,6 +52,28 @@ def test_decontaminate_eval_docs_and_short_docs_excluded(spark):
     assert out == {3}
 
 
+def test_decontaminate_bloom_superset_of_exact_no_joins(spark):
+    """The bloom pre-gate may only OVERCOUNT: every exact hit must
+    appear with n_maybe >= n_shared (a bloom negative is definitive,
+    so a false negative would drop real contamination), and the probe
+    side must carry NO join at all — the bitmap rides the plan as an
+    array literal."""
+    rows = [(i, f"common one two w{i} w{i + 1} common one two") for i in range(1, 60)]
+    rows += [(0, "common one two eval holdout text"), (41, "zeta eta theta iota")]
+    docs = _docs(spark, rows)
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination.decontaminate(docs).collect()
+    }
+    assert exact, "fixture must actually contaminate"
+    bloomed = contamination.decontaminate_bloom(docs)
+    got = {r["doc_id"]: r["n_maybe"] for r in bloomed.collect()}
+    for doc_id, n_shared in exact.items():
+        assert got.get(doc_id, 0) >= n_shared, doc_id
+    plan = bloomed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # map-only probe + one doc_id agg
+
+
 def test_decontaminate_eval_side_is_broadcast(spark):
     docs = _docs(spark, [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(100)])
     plan = contamination.decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
