@@ -97,6 +97,35 @@ def _log2fp_spark(df: DataFrame, xcol: str, out: str) -> DataFrame:
     )
 
 
+def _fp_round6_expr(fp: str, n: str, intdiv: str) -> str:
+    """round(fp / n / 2^LOG2_F_BITS, 6) with the HALF-UP midpoint
+    resolved ENTIRELY in int64, as one SQL expression valid in both
+    engines (`intdiv` = 'div' for Spark, '//' for DuckDB).
+
+    Why: Spark's round() on a double goes through BigDecimal's decimal
+    string (true half-up) while DuckDB rounds the raw binary double,
+    and the two disagree whenever the exact rational lands on a
+    7-digit decimal midpoint — which this fixed-point family hits for
+    real, because the denominator n*2^10 often divides a power of ten
+    (observed: sf0.001 doc 95, 20552/5/1024 = 4.0140625 → 4.014063 vs
+    4.014062). Here: q = floor(fp/d) via an explicit nonnegative mod
+    (identical C-style % in both engines, floor==truncate on the
+    now-exact division), frac_micro = floor((2e6*r + d) / 2d) — the
+    exact half-up of the remainder — and the final micro/1e6 is one
+    IEEE double division of a ≤2^25 integer: bit-identical
+    cross-engine. Headroom: 2e6*r < 2e9*n keeps int64 to n ≈ 4×10^9
+    tokens per key (per-doc and per-source counts sit far below).
+    NULL when n = 0, matching the old round(x / nullif(n,0)) readout."""
+    d = f"(CAST({n} AS BIGINT) * {1 << LOG2_F_BITS})"
+    pm = f"((({fp}) % {d}) + {d}) % {d}"
+    q = f"((({fp}) - ({pm})) {intdiv} {d})"
+    frac = f"((2000000 * ({pm}) + {d}) {intdiv} (2 * {d}))"
+    return (
+        f"CASE WHEN coalesce({n}, 0) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST({q} * 1000000 + {frac} AS BIGINT) / 1000000.0 END"
+    )
+
+
 def _log2fp_sql_ctes(src: str, xcol: str, out: str, cols: str) -> str:
     """Chained-CTE DuckDB twin of :func:`_log2fp_spark`: consumes CTE
     ``src`` (which must expose ``xcol`` and ``cols``), emits CTE
@@ -234,16 +263,9 @@ def score_against_model(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("surprisal_fp", F.lit(0)).alias("surprisal_fp"),
     )
-    return out.select(
-        "doc_id",
-        "n_bigrams",
-        "surprisal_fp",
-        F.round(
-            F.col("surprisal_fp")
-            / F.nullif(F.col("n_bigrams"), F.lit(0))
-            / (1 << LOG2_F_BITS),
-            6,
-        ).alias("avg_bits"),
+    return out.withColumn(
+        "avg_bits",
+        F.expr(_fp_round6_expr("surprisal_fp", "n_bigrams", "div")),
     )
 
 
@@ -343,9 +365,7 @@ agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 SELECT d.doc_id,
        coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(a.surprisal_fp, 0)::BIGINT AS surprisal_fp,
-       round(coalesce(a.surprisal_fp, 0)::DOUBLE
-             / nullif(coalesce(a.n_bigrams, 0), 0)
-             / {1 << LOG2_F_BITS}, 6) AS avg_bits
+       {_fp_round6_expr("coalesce(a.surprisal_fp, 0)", "coalesce(a.n_bigrams, 0)", "//")} AS avg_bits
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
 
@@ -389,12 +409,9 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce("entropy_sum_fp", F.lit(0)).cast("long").alias(
             "entropy_sum_fp"
         ),
-        F.round(
-            F.col("entropy_sum_fp")
-            / F.nullif(F.col("n_tokens").cast("long"), F.lit(0))
-            / (1 << LOG2_F_BITS),
-            6,
-        ).alias("avg_entropy_bits"),
+    ).withColumn(
+        "avg_entropy_bits",
+        F.expr(_fp_round6_expr("entropy_sum_fp", "n_tokens", "div")),
     )
 
 
@@ -420,9 +437,7 @@ agg AS (SELECT doc_id, any_value(n)::BIGINT AS n_tokens,
 SELECT d.doc_id,
        coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(a.entropy_sum_fp, 0)::BIGINT AS entropy_sum_fp,
-       round(coalesce(a.entropy_sum_fp, 0)::DOUBLE
-             / nullif(coalesce(a.n_tokens, 0), 0)
-             / {1 << LOG2_F_BITS}, 6) AS avg_entropy_bits
+       {_fp_round6_expr("coalesce(a.entropy_sum_fp, 0)", "coalesce(a.n_tokens, 0)", "//")} AS avg_entropy_bits
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
 
@@ -484,12 +499,10 @@ def source_kl(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "source",
             F.col("n_s").cast("long").alias("n_tokens"),
             F.col("kl_sum_fp").cast("long").alias("kl_sum_fp"),
-            F.round(
-                F.col("kl_sum_fp")
-                / F.col("n_s").cast("long")
-                / (1 << LOG2_F_BITS),
-                6,
-            ).alias("kl_bits"),
+        )
+        .withColumn(
+            "kl_bits",
+            F.expr(_fp_round6_expr("kl_sum_fp", "n_tokens", "div")),
         )
     )
 
@@ -518,7 +531,7 @@ terms AS (
 ),
 agg AS (SELECT source, sum(term)::BIGINT AS kl_sum_fp FROM terms GROUP BY 1)
 SELECT x.source, x.n_s::BIGINT AS n_tokens, a.kl_sum_fp,
-       round(a.kl_sum_fp::DOUBLE / x.n_s / {1 << LOG2_F_BITS}, 6) AS kl_bits
+       {_fp_round6_expr("a.kl_sum_fp", "x.n_s", "//")} AS kl_bits
 FROM lns_done x JOIN agg a USING (source)
 """
 
@@ -578,12 +591,9 @@ def ngram_lm_by_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce("surprisal_fp", F.lit(0)).cast("long").alias(
             "surprisal_fp"
         ),
-        F.round(
-            F.col("surprisal_fp")
-            / F.nullif(F.col("n_bigrams").cast("long"), F.lit(0))
-            / (1 << LOG2_F_BITS),
-            6,
-        ).alias("avg_bits"),
+    ).withColumn(
+        "avg_bits",
+        F.expr(_fp_round6_expr("surprisal_fp", "n_bigrams", "div")),
     )
 
 
@@ -627,9 +637,7 @@ agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 SELECT d.doc_id, d.lang,
        coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(a.surprisal_fp, 0)::BIGINT AS surprisal_fp,
-       round(coalesce(a.surprisal_fp, 0)::DOUBLE
-             / nullif(coalesce(a.n_bigrams, 0), 0)
-             / {1 << LOG2_F_BITS}, 6) AS avg_bits
+       {_fp_round6_expr("coalesce(a.surprisal_fp, 0)", "coalesce(a.n_bigrams, 0)", "//")} AS avg_bits
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 WHERE d.lang IS NOT NULL
 """

@@ -173,3 +173,33 @@ def test_by_lang_models_are_independent(spark):
     assert 300 not in out
     assert out[0].avg_bits < out[200].avg_bits  # own-language phrasing is cheap
     assert out[200].n_bigrams == out[0].n_bigrams
+
+
+def test_fp_round6_midpoint_is_engine_identical():
+    """r5 regression: fp/n/1024 landing on an exact 7-digit decimal
+    midpoint (sf0.001 doc 95: 20552/5/1024 = 4.0140625) rounded UP in
+    Spark (BigDecimal half-up on the decimal string) but DOWN in
+    DuckDB (raw-double rounding). The readout now resolves the
+    midpoint in int64 before the single exact double division; both
+    engines must emit 4.014063 — and agree on sign-safe floor for a
+    (truncation-artifact) negative fp."""
+    import duckdb
+
+    from metadata_quality_stack_spark.operators.ngram_lm import (
+        _fp_round6_expr,
+    )
+
+    con = duckdb.connect()
+    for fp, n, want in [
+        (20552, 5, 4.014063),   # the observed midpoint
+        (20551, 5, 4.013867),   # off-midpoint sanity
+        (0, 0, None),           # empty doc -> NULL
+        (-3, 7, -0.000419),     # negative fp: floor-consistent half-up
+    ]:
+        got = con.execute(
+            f"SELECT {_fp_round6_expr(str(fp), str(n), '//')}"
+        ).fetchone()[0]
+        assert got == want, (fp, n, got)
+    # the Spark spelling is the same string with 'div' — parity of the
+    # two spellings on the midpoint is covered by the gate replica
+    # (token_entropy at SF_DIR=sf0.001), which failed before this fix
