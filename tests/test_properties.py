@@ -189,3 +189,70 @@ def test_bloom_bitmap_equals_set_membership(corpus, probes, m_bits):
         assert via_set == via_bits
         if key in corpus:
             assert via_bits  # no false negative, ever
+
+
+# ------------------------------------------------- fp readout half-up
+def _fp_round6_ref(fp: int, n: int):
+    """Exact-rational reference for round(fp / (n*1024), 6), half-up
+    with floor semantics at negative midpoints (floor(v*1e6 + 1/2))."""
+    if n == 0:
+        return None
+    from fractions import Fraction
+
+    v = Fraction(fp, n * 1024) * 1_000_000 + Fraction(1, 2)
+    return float(math.floor(v)) / 1_000_000
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**12),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_fp_round6_duckdb_spelling_matches_exact_rational(pairs):
+    """The '//' (DuckDB) spelling of _fp_round6_expr must equal the
+    exact-rational half-up for arbitrary fp (both signs) and n — one
+    batched VALUES query per example set."""
+    import duckdb
+
+    from metadata_quality_stack_spark.operators.ngram_lm import (
+        _fp_round6_expr,
+    )
+
+    con = duckdb.connect()
+    values = ", ".join(f"({fp}, {n})" for fp, n in pairs)
+    got = con.execute(
+        f"SELECT {_fp_round6_expr('fp', 'n', '//')} FROM "
+        f"(VALUES {values}) t(fp, n)"
+    ).fetchall()
+    for (fp, n), (g,) in zip(pairs, got):
+        assert g == _fp_round6_ref(fp, n), (fp, n, g)
+
+
+def test_fp_round6_spark_spelling_matches_exact_rational(spark):
+    """The 'div' (Spark) spelling over a seeded grid including exact
+    midpoints, negatives, and n=0 — same reference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from metadata_quality_stack_spark.operators.ngram_lm import (
+        _fp_round6_expr,
+    )
+
+    rng = random.Random(7)
+    pairs = [(20552, 5), (20551, 5), (0, 0), (-3, 7), (-20552, 5)]
+    pairs += [
+        (rng.randint(-(10**6), 10**12), rng.randint(0, 10**6))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(pairs, "fp long, n long").withColumn(
+        "avg", F.expr(_fp_round6_expr("fp", "n", "div"))
+    )
+    for r in df.collect():
+        assert r.avg == _fp_round6_ref(r.fp, r.n), (r.fp, r.n, r.avg)
