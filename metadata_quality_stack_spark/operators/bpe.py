@@ -291,13 +291,42 @@ def bpe_vocab_ids(
             F.sum("cnt").alias("total_occurrences"),
         )
     )
-    # unpartitioned window over the VOCAB (bounded ~10^4-10^5 pieces by
-    # construction), not the corpus — single-partition rank is the point:
-    # token ids must be a global dense order
-    w = Window.orderBy(F.desc("total_occurrences"), F.asc("piece"))
-    return pieces.select(
+    # Distributed dense rank (r5 — same order-preserving prefix-census
+    # pattern as graph.domain_nodes, closing the last "revisit at scale"
+    # window note): a production vocab can reach 10^5-10^6 pieces, so the
+    # global (count DESC, piece ASC) rank must not funnel through ONE
+    # row_number task. Pieces bucket by the integer bit-length of their
+    # count (length(bin(c)) — exact, no libm), which is monotone in the
+    # PRIMARY sort key, so buckets are contiguous slices of the global
+    # order; a <=64-row census becomes cumulative offsets and token_id =
+    # within-bucket row_number + broadcast offset — bit-identical to
+    # row_number() OVER (ORDER BY cnt DESC, piece) with no global sort.
+    # Zipf puts ~half the vocab in the count==1 bucket: that bucket is
+    # one task — still vocab/2, never the corpus, and never ALL of it.
+    ranked = pieces.withColumn(
+        "bkt", (F.lit(64) - F.length(F.bin("total_occurrences"))).cast("int")
+    )
+    census = sorted(
+        (r.bkt, r.c)
+        for r in ranked.groupBy("bkt").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, c in census:
+        offsets.extend((bkt, acc))
+        acc += c
+    off = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for x in offsets]), F.col("bkt")
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("bkt").orderBy(
+        F.desc("total_occurrences"), F.asc("piece")
+    )
+    return ranked.select(
         "piece",
-        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        (F.row_number().over(w) - 1 + off).cast("long").alias("token_id"),
         F.col("n_words_using").cast("long").alias("n_words_using"),
         F.col("total_occurrences").cast("long").alias("total_occurrences"),
     )

@@ -186,3 +186,32 @@ def test_resumable_survives_duplicate_rank_rows(spark, tmp_path):
     rows.write.mode("append").parquet(log_dir)
     resumed = bpe.train_merges_resumable(docs, log_dir, n_merges=4)
     assert resumed == bpe.train_merges(docs, 4)
+
+
+def test_vocab_ids_dense_rank_distributed(spark):
+    """r5 scale fix: bpe_vocab_ids ranks by (count DESC, piece ASC)
+    via a bit-length-bucket census instead of one global window — the
+    ids must be bit-identical to the single-sort rank, and the Window
+    node in the plan must be partitioned (no SinglePartition exchange
+    feeding a WindowExec). Fixture counts straddle several power-of-two
+    buckets and include within-bucket ties broken by piece order."""
+    docs = _docs(spark, ["low " * 5 + "lower " * 2 + "newest " * 6])
+    vocab = bpe.bpe_vocab_ids(docs, 3)
+    rows = vocab.collect()
+    want = {
+        piece: i
+        for i, (piece, _) in enumerate(
+            sorted(
+                ((r.piece, r.total_occurrences) for r in rows),
+                key=lambda t: (-t[1], t[0]),
+            )
+        )
+    }
+    assert {r.piece: r.token_id for r in rows} == want
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window .*", plan):
+        assert "SinglePartition" not in m.group(0)
+    # the exchange feeding the window must hash on the bucket key
+    assert "hashpartitioning(bkt" in plan
