@@ -42,6 +42,7 @@ from metadata_quality_stack_spark.operators import (
     textops,
     urlops,
     vocab,
+    winnow,
 )
 from metadata_quality_stack_spark.operators.rules import apply_quality, metric_report
 from metadata_quality_stack_spark.oracle import sqlgen
@@ -957,6 +958,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drop_duplicated_spans"] = lambda s, d: dedup.drop_duplicated_spans(
         _t(s, d, "documents")
     )
+    # winnowing fingerprints (Schleimer 2003): PARTIAL-overlap detection —
+    # shared passages >= w+k-1 chars pair up regardless of global Jaccard
+    q["winnow_fingerprints"] = lambda s, d: winnow.winnow_fingerprints(
+        _t(s, d, "documents")
+    )
+    q["winnow_overlap_pairs"] = lambda s, d: winnow.winnow_overlap_pairs(
+        _t(s, d, "documents")
+    )
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_t(s, d, "documents"))
     # same labels via alternating large-star/small-star (Kiveris 2014):
     # O(log n) rounds vs label-prop's O(diameter) — the scale-grade CC
@@ -1592,6 +1601,8 @@ SELECT doc_id, source FROM (
     o["dup_ngram_fraction"] = dedup.dup_ngram_fraction_sql()
     o["dup_span_stats"] = dedup.dup_span_stats_sql()
     o["drop_duplicated_spans"] = dedup.drop_duplicated_spans_sql()
+    o["winnow_fingerprints"] = winnow.winnow_fingerprints_sql()
+    o["winnow_overlap_pairs"] = winnow.winnow_overlap_pairs_sql()
     o["corpus_token_budget"] = sampling.corpus_token_budget_sql()
     o["dsir_logweights"] = dsir.dsir_logweights_sql()
     o["dsir_sample"] = dsir.dsir_sample_sql()
