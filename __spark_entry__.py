@@ -520,6 +520,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["domain_pagerank"] = lambda s, d: graph.domain_pagerank(
         _t(s, d, "documents")
     )
+
+    # crawl-frontier prioritization (r5): a recrawl budget is spent per
+    # DOMAIN, ordered by authority x content quality — PageRank joined
+    # to the per-domain mean pipeline score. The rank side exchanges
+    # domain-sized rows, the quality side is one groupBy over the scored
+    # frame, and the join key set is the domain census — at 10^12 docs
+    # both inputs are ~10^7 rows while the docs themselves never move.
+    # Integer discipline end to end (micros x int scores, div readouts).
+    def _domain_quality_rank(s: SparkSession, d: str) -> DataFrame:
+        qual = (
+            _scored(s, d)
+            .filter(F.col("source").isNotNull())
+            .groupBy(F.col("source").alias("node"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("total_score").alias("ss"),
+            )
+        )
+        pr = graph.domain_pagerank(_t(s, d, "documents"))
+        return pr.join(qual, "node").select(
+            "node",
+            "n_docs",
+            "rank_micro",
+            F.expr("ss div n_docs").cast("long").alias("mean_score"),
+            F.expr("(rank_micro * ss) div n_docs")
+            .cast("long")
+            .alias("priority_micro"),
+        )
+
+    q["domain_quality_rank"] = _domain_quality_rank
     # REAL-href chain (VERDICT r4 #8): deterministic fixture pages with
     # actual <nav> anchors -> sources/pages.extract_links_column regex
     # parse -> normalize_url canonicalization -> domain edges; the
@@ -1620,6 +1650,17 @@ SELECT doc_id, source FROM (
     o["bpe_encode_docs"] = bpe.bpe_encode_docs_sql()
     o["domain_link_stats"] = graph.domain_link_stats_sql()
     o["domain_pagerank"] = graph.domain_pagerank_sql()
+    o["domain_quality_rank"] = (
+        f"WITH pr AS ({graph.domain_pagerank_sql()}),\n"
+        f"scored AS ({scored_src}),\n"
+        "q AS (SELECT source AS node, count(*) AS n_docs,\n"
+        "        sum(total_score) AS ss\n"
+        "      FROM scored WHERE source IS NOT NULL GROUP BY source)\n"
+        "SELECT pr.node, q.n_docs, pr.rank_micro,\n"
+        "  (q.ss // q.n_docs)::BIGINT AS mean_score,\n"
+        "  ((pr.rank_micro * q.ss) // q.n_docs)::BIGINT AS priority_micro\n"
+        "FROM pr JOIN q USING (node)"
+    )
     o["real_link_edges"] = graph.real_link_edges_sql()
     o["pagerank_real_links"] = graph.pagerank_real_links_sql()
     o["pagerank_dangling_mass"] = graph.pagerank_dangling_mass_sql()
