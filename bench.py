@@ -50,6 +50,10 @@ def build_pages_corpus(spark):
 
 
 def main() -> None:
+    # 1-min load BEFORE the bench spawns anything: load_1m_best during a
+    # query is dominated by the bench's own 32 threads, so this is the
+    # only load reading that isolates NEIGHBOR activity on the host
+    load_1m_start = round(os.getloadavg()[0], 1)
     spark = get_spark(
         app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
     )
@@ -244,6 +248,7 @@ def main() -> None:
                 "curation_recipe_load_1m": rec_load,
                 "curation_recipe_quiet_retries": rec_extra,
                 "load_1m": round(os.getloadavg()[0], 1),
+                "load_1m_start": load_1m_start,
             }
         )
     )
