@@ -1,6 +1,7 @@
 """Production job entrypoint (north rule §3.4 target lifecycle):
 
-    spark-submit --py-files dist/metadata_quality_stack_spark.zip job.py \
+    spark-submit --driver-memory 48g \
+        --py-files dist/metadata_quality_stack_spark.zip job.py \
         --input /data/pages --output /data/results [--buckets 64] \
         [--lang-filter en] [--salts 16] [--blocklist domains.txt] \
         [--merge] [--curate /data/curated]
@@ -10,6 +11,12 @@ runs the quality pipeline bucket-by-bucket through the snapshot-manifest
 sink (resumable: a killed run continues from the last committed bucket),
 and writes the per-partition metrics sidecar (lang histogram, drop-reason
 counts, scrub counts, rating histogram) next to the results.
+
+Size the JVM on the submit command line (``--driver-memory`` here in
+local mode; ``spark.executor.memory`` on a real cluster): the library's
+``get_spark`` builder config only applies when python launches the JVM
+in-process — under spark-submit the JVM pre-exists, so omitting the flag
+silently runs the whole local "cluster" at the 1g default.
 
 On a cluster the session picks up master/executors from spark-submit;
 ``get_spark`` only fills in local-mode defaults when run standalone.

@@ -86,6 +86,18 @@ def run_leg(cpus: int, rnd: int) -> dict:
         [
             "taskset", "-c", CPUSET[cpus],
             "spark-submit", "--master", f"local[{cpus}]",
+            # REQUIRED on the submit path: session.get_spark's
+            # spark.driver.memory=48g is builder config, which only
+            # sizes the JVM when python launches it in-process; under
+            # spark-submit the JVM is already up, so without this flag
+            # the whole local "cluster" runs at the 1g default —
+            # execution memory starves, the (bucket, salt) text
+            # exchange spills, and GC throttles 8 concurrent tasks far
+            # harder than 2 (measured: 8-core leg 183 s at 1g vs 145 s
+            # properly sized; job-level efficiency read 0.71 instead
+            # of the engine's real scaling). On a real cluster this is
+            # ordinary executor sizing (spark.executor.memory).
+            "--driver-memory", "48g",
             "--py-files", ZIP,
             os.path.join(REPO, "job.py"),
             "--input", CORPUS_PATH, "--output", out_dir,
