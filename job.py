@@ -184,10 +184,30 @@ def main() -> None:
     # generation dirs the snapshot log maps
     results = read_results(spark, args.output)
     metrics_dir = os.path.join(args.output, "_metrics")
-    for name, df in partition_metrics(results).items():
+    # the four metric aggregations share ONE scan: cache the slim
+    # projection (a few small columns, never text) so jobs 2-4 read
+    # memory instead of re-scanning the results table. At true cluster
+    # scale the same metrics would ride the write itself (observe());
+    # the cache is ~tens of bytes per doc either way.
+    mcols = [
+        c
+        for c in (
+            "lang_pred",
+            "rating",
+            "drop_reasons",
+            "scrub_email_count",
+            "scrub_ip_count",
+            "scrub_phone_count",
+            "keep",
+        )
+        if c in results.columns
+    ]
+    slim = results.select(*mcols).persist()
+    for name, df in partition_metrics(slim).items():
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(metrics_dir, name)
         )
+    slim.unpersist()
     if args.curate:
         from metadata_quality_stack_spark.operators.urlops import domain_of
         from metadata_quality_stack_spark.plans.curate import curation_recipe

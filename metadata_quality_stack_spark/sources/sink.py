@@ -184,27 +184,54 @@ def run_incremental(
         written = read_results(spark, out_dir).filter(
             F.col("bucket").isin([int(b) for b in remaining])
         )
-        aggs = [
-            F.count("*").alias("rows"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-        ]
         has_scrub = "scrub_count" in written.columns
+        has_reasons = "drop_reasons" in written.columns
+        # ONE read-back job for commit stats + drop-reason lineage
+        # (was two scans of the written table): posexplode_outer keeps
+        # every doc exactly once at pos NULL (no reasons) or pos 0, so
+        # doc-level stats count only that row, while reason occurrences
+        # count per exploded row. One pruned columnar scan, one small
+        # shuffle; collect size = buckets x reasons.
+        doc_cols = ["bucket", "keep"] + (["scrub_count"] if has_scrub else [])
+        if has_reasons:
+            ex = written.select(
+                *doc_cols,
+                F.posexplode_outer("drop_reasons").alias("pos", "reason"),
+            )
+            first = F.col("pos").isNull() | (F.col("pos") == 0)
+        else:
+            ex = written.select(
+                *doc_cols, F.lit(None).cast("string").alias("reason")
+            )
+            first = F.lit(True)
+        aggs = [
+            F.sum(F.when(first, 1).otherwise(0)).alias("rows"),
+            F.sum(F.when(first & F.col("keep"), 1).otherwise(0)).alias(
+                "kept"
+            ),
+            F.count(F.when(F.col("reason").isNotNull(), 1)).alias(
+                "reason_n"
+            ),
+        ]
         if has_scrub:
-            aggs.append(F.sum("scrub_count").alias("scrubbed"))
-        per_bucket = {
-            int(r["bucket"]): r
-            for r in written.groupBy("bucket").agg(*aggs).collect()
-        }
+            aggs.append(
+                F.sum(
+                    F.when(first, F.col("scrub_count")).otherwise(0)
+                ).alias("scrubbed")
+            )
+        per_bucket: dict[int, dict] = {}
         drop_hist: dict[int, dict[str, int]] = {}
-        if "drop_reasons" in written.columns:
-            # per-bucket lineage: why documents were dropped, histogram
-            for r in (
-                written.select("bucket", F.explode("drop_reasons").alias("reason"))
-                .groupBy("bucket", "reason")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            ):
-                drop_hist.setdefault(int(r["bucket"]), {})[r["reason"]] = int(r["n"])
+        for r in ex.groupBy("bucket", "reason").agg(*aggs).collect():
+            b = int(r["bucket"])
+            pb = per_bucket.setdefault(
+                b, {"rows": 0, "kept": 0, "scrubbed": 0}
+            )
+            pb["rows"] += int(r["rows"] or 0)
+            pb["kept"] += int(r["kept"] or 0)
+            if has_scrub:
+                pb["scrubbed"] += int(r["scrubbed"] or 0)
+            if r["reason"] is not None and int(r["reason_n"]):
+                drop_hist.setdefault(b, {})[r["reason"]] = int(r["reason_n"])
 
         done = 0
         for b in remaining:
