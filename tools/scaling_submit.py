@@ -50,13 +50,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS_PATH = "/tmp/scaling_submit_pages"
+CORPUS_PATH = os.environ.get(
+    "SCALING_SUBMIT_CORPUS", "/tmp/scaling_submit_pages"
+)
 BASE_ROWS = 4000
 REPLICAS = int(os.environ.get("SCALING_SUBMIT_REPLICAS", "400"))  # 1.6M docs
-N_SMALL = 2
-N_LARGE = 8
-CPUSET = {2: "0-1", 8: "0-7"}
+# Geometry is env-tunable because the two interesting experiments
+# differ: 2-vs-8 includes this shared box's all-core memory-bandwidth /
+# turbo cliff (a single-box artifact; on a real cluster 4N executors
+# bring 4x memory buses and disks), while 1-vs-4 stays in the flat
+# region of the host's per-core throughput curve and isolates the
+# engine's own scaling through the production entrypoint.
+N_SMALL = int(os.environ.get("SCALING_N_SMALL", "2"))
+N_LARGE = int(os.environ.get("SCALING_N_LARGE", "8"))
+CPUSET = {1: "0", 2: "0-1", 4: "0-3", 8: "0-7", 16: "0-15"}
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
+OUT_JSON = os.environ.get("SCALING_SUBMIT_OUT", "scaling_submit.json")
 ZIP = os.path.join(REPO, "dist", "metadata_quality_stack_spark.zip")
 
 
@@ -162,7 +171,7 @@ def main() -> None:
     }
     print(json.dumps({k: v for k, v in summary.items() if k != "all_runs"}))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_submit.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", OUT_JSON), "w") as f:
         json.dump(summary, f, indent=1)
 
 
