@@ -55,12 +55,16 @@ CORPUS_PATH = os.environ.get(
 )
 BASE_ROWS = 4000
 REPLICAS = int(os.environ.get("SCALING_SUBMIT_REPLICAS", "400"))  # 1.6M docs
-# Geometry is env-tunable because the two interesting experiments
-# differ: 2-vs-8 includes this shared box's all-core memory-bandwidth /
-# turbo cliff (a single-box artifact; on a real cluster 4N executors
-# bring 4x memory buses and disks), while 1-vs-4 stays in the flat
-# region of the host's per-core throughput curve and isolates the
-# engine's own scaling through the production entrypoint.
+# Geometry is env-tunable. Measured finding (see BENCH/BASELINE.md
+# "Scaling through the deployment path"): pure-register CPU work is
+# flat 1->8 active cores on this host (tools/cpu_calibration.py), but
+# the pipeline's per-core throughput drops ~25% from 1->4 and ~10-18%
+# from 2->8 active cores - the byte-heavy paths (Arrow batches,
+# shuffle serde, parquet encode) contend on the box's single memory
+# bus and disk, a resource a real cluster scales with node count.
+# Both geometries therefore measure engine scaling WITH the single-box
+# memory ceiling included; the library harness (tools/scaling_bench.py)
+# plus plan-shape assertions carry the engine-only claim.
 N_SMALL = int(os.environ.get("SCALING_N_SMALL", "2"))
 N_LARGE = int(os.environ.get("SCALING_N_LARGE", "8"))
 CPUSET = {1: "0", 2: "0-1", 4: "0-3", 8: "0-7", 16: "0-15"}
