@@ -184,30 +184,17 @@ def main() -> None:
     # generation dirs the snapshot log maps
     results = read_results(spark, args.output)
     metrics_dir = os.path.join(args.output, "_metrics")
-    # the four metric aggregations share ONE scan: cache the slim
-    # projection (a few small columns, never text) so jobs 2-4 read
-    # memory instead of re-scanning the results table. At true cluster
-    # scale the same metrics would ride the write itself (observe());
-    # the cache is ~tens of bytes per doc either way.
-    mcols = [
-        c
-        for c in (
-            "lang_pred",
-            "rating",
-            "drop_reasons",
-            "scrub_email_count",
-            "scrub_ip_count",
-            "scrub_phone_count",
-            "keep",
-        )
-        if c in results.columns
-    ]
-    slim = results.select(*mcols).persist()
-    for name, df in partition_metrics(slim).items():
+    # each metric is one pruned columnar scan + a small partial-agg
+    # shuffle. Measured note: caching a slim projection for the four
+    # jobs was tried and REVERTED - materializing a row cache of the
+    # whole table costs more than four pruned parquet scans at every
+    # scale (columnar scans of 2-3 small columns are cheap; cache
+    # memory is not), and the 8-core submit legs read ~10 s slower
+    # with the cache (BENCH/scaling_submit.json round notes).
+    for name, df in partition_metrics(results).items():
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(metrics_dir, name)
         )
-    slim.unpersist()
     if args.curate:
         from metadata_quality_stack_spark.operators.urlops import domain_of
         from metadata_quality_stack_spark.plans.curate import curation_recipe
