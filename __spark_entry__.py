@@ -442,6 +442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["train_val_test_split"] = lambda s, d: sampling.train_val_test_split(
         _t(s, d, "documents")
     )
+    # score-proportional soft sampling (DCLM-B / GPT-3-style quality-
+    # weighted keep: p = total_score / max_score, md5-bucket coin,
+    # integer cross-multiply — map-only, fuses into the scoring scan)
+    q["quality_weighted_sample"] = lambda s, d: sampling.quality_weighted_sample(
+        _scored(s, d)
+    )
     # pre-training budget table: docs + tokens per (split, lang)
     q["corpus_token_budget"] = lambda s, d: sampling.corpus_token_budget(
         _t(s, d, "documents")
@@ -1628,6 +1634,7 @@ SELECT doc_id, source FROM (
         + " FROM s"
     )
     o["train_val_test_split"] = sampling.train_val_test_split_sql()
+    o["quality_weighted_sample"] = sampling.quality_weighted_sample_sql(scored)
     o["dup_ngram_fraction"] = dedup.dup_ngram_fraction_sql()
     o["dup_span_stats"] = dedup.dup_span_stats_sql()
     o["drop_duplicated_spans"] = dedup.drop_duplicated_spans_sql()

@@ -614,3 +614,57 @@ def score_quantiles_sampled(
             for p in probs
         ],
     )
+
+
+def quality_weighted_sample(
+    scored: DataFrame, id_col: str = "doc_id", max_score: int | None = None
+) -> DataFrame:
+    """Score-proportional soft sampling (the DCLM-B / "soft quality
+    filter" alternative to a hard keep threshold): each document is kept
+    with probability total_score / max_score, so borderline pages enter
+    the corpus at reduced rate instead of being cliff-dropped — the
+    mixing knob used when a hard cut measurably hurts downstream
+    diversity (Li et al. 2024, DataComp-LM §4.2; GPT-3's
+    quality-weighted Common Crawl sampling, Brown et al. 2020 App. A).
+
+    Determinism: the coin is the content-stable md5 bucket of the doc
+    id (sample_bucket), and the comparison is the integer
+    cross-multiplication ``bucket * max_score < total_score *
+    SAMPLE_BUCKETS`` — no division, no floats, so membership is
+    bit-identical across engines/runs/cluster sizes and the DuckDB
+    oracle replays it exactly. Map-only: the predicate fuses into the
+    scoring projection's scan stage, no shuffle, composes with
+    partition pruning; at 10^12 docs this is a free rider on the
+    scoring pass.
+
+    Columns: doc_id, total_score, rating."""
+    from metadata_quality_stack_spark import config
+    from metadata_quality_stack_spark.operators.rules import filter_scored
+
+    m = int(max_score if max_score is not None else config.MAX_SCORE)
+    b = sample_bucket(F.col(id_col))
+    # filter_scored (observe barrier), NOT .filter(): pushdown would
+    # re-inline the whole scoring expression tree into the predicate and
+    # overflow Janino's 64 KB method limit (rules.filter_scored doc)
+    return filter_scored(
+        scored, b * F.lit(m) < F.col("total_score") * F.lit(SAMPLE_BUCKETS)
+    ).select(id_col, "total_score", "rating")
+
+
+def quality_weighted_sample_sql(
+    scored_cte: str, id_col: str = "doc_id", max_score: int | None = None
+) -> str:
+    """DuckDB mirror of :func:`quality_weighted_sample` over a scored
+    CTE body (same md5 bucket + integer cross-multiplication)."""
+    from metadata_quality_stack_spark import config
+
+    m = int(max_score if max_score is not None else config.MAX_SCORE)
+    b = (
+        f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 7))::BIGINT"
+        f" % {SAMPLE_BUCKETS})"
+    )
+    return (
+        f"WITH scored AS ({scored_cte}) "
+        f"SELECT {id_col}, total_score, rating FROM scored "
+        f"WHERE {b} * {m} < total_score * {SAMPLE_BUCKETS}"
+    )

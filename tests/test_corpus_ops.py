@@ -571,3 +571,61 @@ def test_corpus_datasheet_single_scan_and_values(spark):
     plan = plan_str(corpus_datasheet(docs), "simple")
     assert plan.count("Scan ") <= 1
     assert "Expand" in plan
+
+
+def test_quality_weighted_sample_membership_and_determinism(spark):
+    # hand-built scored frame: score 0 can never be kept (bucket*m < 0
+    # is false for every bucket), score == max is always kept (bucket <
+    # SAMPLE_BUCKETS holds for all buckets), and a mid score keeps the
+    # doc iff its md5 bucket clears the cross-multiplied line
+    import hashlib
+
+    from metadata_quality_stack_spark import config
+
+    rows = [
+        (1, 0, "Bad"),
+        (2, config.MAX_SCORE, "Excellent"),
+        (3, 200, "Sufficient"),
+        (4, 200, "Sufficient"),
+        (5, 405, "Excellent"),
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, total_score int, rating string"
+    )
+    out = {
+        r["doc_id"]
+        for r in sampling.quality_weighted_sample(scored).collect()
+    }
+    assert 1 not in out  # p = 0
+    assert {2, 5} <= out  # p = 1
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 100
+
+    for d in (3, 4):
+        expect = bucket(d) * config.MAX_SCORE < 200 * 100
+        assert (d in out) == expect
+    # deterministic: a second run selects the identical set
+    out2 = {
+        r["doc_id"]
+        for r in sampling.quality_weighted_sample(scored).collect()
+    }
+    assert out == out2
+
+
+def test_quality_weighted_sample_rate_tracks_score(spark):
+    # over many ids at a fixed score s, the realized keep rate must sit
+    # near s / MAX_SCORE (the md5 bucket is uniform); exactness is not
+    # the claim — proportionality is
+    from metadata_quality_stack_spark import config
+
+    n = 2000
+    score = 300
+    scored = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(score).cast("int").alias("total_score"),
+        F.lit("Good").alias("rating"),
+    )
+    kept = sampling.quality_weighted_sample(scored).count()
+    p = score / config.MAX_SCORE
+    assert abs(kept / n - p) < 0.05
