@@ -515,6 +515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_encode_docs"] = lambda s, d: bpe.bpe_encode_docs(
         _t(s, d, "documents")
     )
+    # token-space concat-and-slice packing over the BPE encodings —
+    # fixed-length training sequences per loader shard (integer DIV,
+    # per-shard running sum; token-id strings never enter the exchange)
+    q["bpe_pack_sequences"] = lambda s, d: bpe.bpe_pack_sequences(
+        _t(s, d, "documents")
+    )
     # domain link-graph degree readout (synthetic deterministic edges
     # over observed domains; operators/graph.py)
     q["domain_link_stats"] = lambda s, d: graph.domain_link_stats(
@@ -1655,6 +1661,7 @@ SELECT doc_id, source FROM (
     o["bpe_tokenized_docs"] = bpe.bpe_tokenized_docs_sql()
     o["bpe_vocab_ids"] = bpe.bpe_vocab_ids_sql()
     o["bpe_encode_docs"] = bpe.bpe_encode_docs_sql()
+    o["bpe_pack_sequences"] = bpe.bpe_pack_sequences_sql()
     o["domain_link_stats"] = graph.domain_link_stats_sql()
     o["domain_pagerank"] = graph.domain_pagerank_sql()
     o["domain_quality_rank"] = (

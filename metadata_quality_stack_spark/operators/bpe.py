@@ -526,3 +526,91 @@ def train_merges_resumable(
         return merges
     finally:
         census.unpersist()
+
+
+def bpe_pack_sequences(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    context_tokens: int = 64,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-slice packing in TOKEN space — the final step from raw
+    pages to fixed-length training sequences (GPT-style loader layout:
+    concatenate a shard's token streams in deterministic order, slice
+    into ``context_tokens`` windows). Completes the in-engine chain
+    html -> text -> BPE token ids -> training sequences; the char-space
+    sibling is sampling.pack_chunks, but a loader consumes token
+    offsets, and token counts come from the learned tokenizer, not
+    byte lengths.
+
+    Scale shape: packing is embarrassingly parallel per shard (shard =
+    doc_id % n_shards — exactly how a multi-worker loader shards its
+    input); ONE exchange on the shard key carrying (doc_id, n_tokens)
+    ints, a running-sum window inside each shard, integer DIV for the
+    sequence index (no float division anywhere). No global ordering, no
+    corpus-sized state: the token-id strings themselves never enter the
+    window exchange.
+
+    Columns: shard, doc_id, n_tokens, start_offset [0-based token
+    offset in the shard stream], seq_first / seq_last [first/last
+    context-window index the doc's tokens land in; NULL for
+    zero-token docs — they occupy no window]."""
+    from pyspark.sql import Window
+
+    enc = bpe_encode_docs(docs, n_merges, text_col).select(
+        "doc_id", "n_tokens"
+    )
+    sharded = enc.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    nonempty = F.col("n_tokens") > 0
+    return sharded.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.when(
+            nonempty, F.expr(f"start_offset DIV {context_tokens}")
+        ).alias("seq_first"),
+        F.when(
+            nonempty,
+            F.expr(f"(start_offset + n_tokens - 1) DIV {context_tokens}"),
+        ).alias("seq_last"),
+    )
+
+
+def bpe_pack_sequences_sql(
+    n_merges: int = BPE_N_MERGES,
+    context_tokens: int = 64,
+    n_shards: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`bpe_pack_sequences`: the ENTIRE encode
+    replay (training rounds included) nests as one CTE body, then the
+    same shard + running-sum + integer-division arithmetic."""
+    enc = bpe_encode_docs_sql(n_merges, table, text_col)
+    return f"""WITH enc AS ({enc}),
+sharded AS (
+  SELECT doc_id, n_tokens, (doc_id % {n_shards})::BIGINT AS shard FROM enc),
+off AS (
+  SELECT shard, doc_id, n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+  FROM sharded)
+SELECT shard, doc_id, n_tokens, start_offset,
+  CASE WHEN n_tokens > 0
+       THEN (start_offset // {context_tokens})::BIGINT END AS seq_first,
+  CASE WHEN n_tokens > 0
+       THEN ((start_offset + n_tokens - 1) // {context_tokens})::BIGINT
+       END AS seq_last
+FROM off
+"""

@@ -215,3 +215,51 @@ def test_vocab_ids_dense_rank_distributed(spark):
         assert "SinglePartition" not in m.group(0)
     # the exchange feeding the window must hash on the bucket key
     assert "hashpartitioning(bkt" in plan
+
+
+def test_pack_sequences_contiguous_streams_and_hostile_rows(spark):
+    # 4 docs in shard 0 (n_shards=1 for a single stream), including a
+    # zero-token doc (digits only — BPE_WORD_RE is [a-z]+): streams must
+    # be contiguous (next start = prev start + prev n_tokens), the
+    # zero-token doc occupies no window (NULL span) but also must not
+    # shift anyone's offset, and seq indices follow integer division
+    docs = _docs(
+        spark, ["aaa bbb", "12345 678", "ccc ddd eee", "fff"]
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in bpe.bpe_pack_sequences(
+            docs, n_merges=0, context_tokens=4, n_shards=1
+        ).collect()
+    }
+    assert rows[1]["n_tokens"] == 0
+    assert rows[1]["seq_first"] is None and rows[1]["seq_last"] is None
+    # contiguity across the stream in doc_id order
+    offset = 0
+    for d in (0, 1, 2, 3):
+        assert rows[d]["start_offset"] == offset
+        offset += rows[d]["n_tokens"]
+    # with 0 merges every char is a token: doc0 = 6 tokens -> windows
+    # 0..1 (ends at offset 5), doc2 starts at 6 -> window 1, spans to
+    # offset 14 -> window 3; doc3 = offsets 15..17 -> windows 3..4
+    assert (rows[0]["seq_first"], rows[0]["seq_last"]) == (0, 1)
+    assert (rows[2]["seq_first"], rows[2]["seq_last"]) == (1, 3)
+    assert (rows[3]["seq_first"], rows[3]["seq_last"]) == (3, 4)
+
+
+def test_pack_sequences_sharding_is_independent(spark):
+    # two shards: per-shard offsets both start at 0 and never interleave
+    docs = _docs(spark, ["ab cd", "ef gh", "ij", "kl mn op"])
+    out = bpe.bpe_pack_sequences(
+        docs, n_merges=0, context_tokens=8, n_shards=2
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rows:
+            assert r["start_offset"] == offset
+            offset += r["n_tokens"]
