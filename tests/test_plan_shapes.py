@@ -356,3 +356,40 @@ def test_curation_recipe_exchanges_are_text_free(spark):
         m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
         blk = m.group(1) if m else ""
         assert "text#" not in blk, f"Exchange ({i}) shuffles text:\n{blk}"
+
+
+def test_quality_weighted_sample_map_only_and_compiled(spark):
+    """The soft-sampling filter must ride the scoring scan stage: no
+    Exchange anywhere, and no codegen fallback (the naive .filter()
+    version re-inlined the scoring tree past Janino's 64 KB limit —
+    the observe barrier keeps the predicate reading materialized
+    attributes)."""
+    from metadata_quality_stack_spark.operators import analytics, sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = sampling.quality_weighted_sample(analytics.scored_documents(docs))
+    plan = plan_str(df)
+    assert "Exchange" not in plan, "soft sampling must not shuffle"
+    # the barrier keeps the filter above the projections: the predicate
+    # references the small attribute, not a re-derived expression tree
+    assert "CollectMetrics" in plan
+
+
+def test_bpe_pack_sequences_shard_exchange_is_int_only(spark):
+    """Packing's only corpus-sized exchange is the shard repartition of
+    (doc_id, n_tokens) ints — the token-id strings (and the text) must
+    never enter any Exchange."""
+    import re
+
+    from metadata_quality_stack_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_str(bpe.bpe_pack_sequences(docs))
+    ex_ids = set(re.findall(r"\((\d+)\)\s+Exchange", plan))
+    assert ex_ids, "expected the shard-key exchange"
+    for i in ex_ids:
+        m = re.search(rf"\({i}\) Exchange\n(.*?)\n\n", plan, re.S)
+        blk = m.group(1) if m else ""
+        assert "text#" not in blk and "token_ids#" not in blk, (
+            f"Exchange ({i}) shuffles text/token-id strings:\n{blk}"
+        )
