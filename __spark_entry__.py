@@ -760,6 +760,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lexical_diversity"] = lambda s, d: textops.lexical_diversity(
         _t(s, d, "documents")
     )
+    # integer LIX readability census (no-syllable-dictionary variant —
+    # the one readability index computable bit-identically cross-engine)
+    q["lix_readability"] = lambda s, d: textops.lix_readability(
+        _t(s, d, "documents")
+    )
+    # fixed-N per-stratum deterministic eval sample (md5-ordered rank)
+    q["eval_set_stratified"] = lambda s, d: sampling.eval_set_stratified(
+        _t(s, d, "documents")
+    )
     # script census + Latin/Cyrillic homoglyph-word detection
     q["script_census"] = lambda s, d: textops.script_census(
         _t(s, d, "documents")
@@ -1737,6 +1746,8 @@ SELECT h FROM hs ORDER BY h LIMIT {sketches.KMV_K}
     o["c4_line_filter"] = textops.c4_line_filter_sql()
     o["mojibake_stats"] = textops.mojibake_stats_sql()
     o["lexical_diversity"] = textops.lexical_diversity_sql()
+    o["lix_readability"] = textops.lix_readability_sql()
+    o["eval_set_stratified"] = sampling.eval_set_stratified_sql()
     o["script_census"] = textops.script_census_sql()
     o["bm25_topk"] = retrieval.bm25_topk_sql(BM25_QUERY, k=20)
     o["domain_top_terms"] = retrieval.domain_top_terms_sql()

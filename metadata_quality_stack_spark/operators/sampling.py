@@ -668,3 +668,59 @@ def quality_weighted_sample_sql(
         f"SELECT {id_col}, total_score, rating FROM scored "
         f"WHERE {b} * {m} < total_score * {SAMPLE_BUCKETS}"
     )
+
+
+def eval_set_stratified(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size per-stratum held-out sample (the eval-set builder: N
+    docs from EVERY language/source regardless of how skewed the corpus
+    mix is — a plain rate sample hands minority strata to chance).
+    Membership is deterministic: rank within each stratum by
+    (md5(id), id) — a content-stable pseudo-random order both engines
+    compute identically — and keep the first N. cap_per_key is the
+    quota sibling (deterministic PREFERENCE order); this one wants the
+    opposite: an order uncorrelated with anything.
+
+    One shuffle on the stratum key (bounded strata); the skewed-stratum
+    window cost is capped by N — row_number short-circuits nothing, but
+    only (id, stratum, md5) triples move, never text.
+
+    Columns: strata (aliased from strata_col), doc_id,
+    rank_in_stratum (1-based)."""
+    return (
+        docs.select(F.col(strata_col).alias("strata"), id_col)
+        .withColumn(
+            "rank_in_stratum",
+            F.row_number().over(
+                Window.partitionBy("strata").orderBy(
+                    F.md5(F.col(id_col).cast("string")).asc(),
+                    F.col(id_col).asc(),
+                )
+            ),
+        )
+        .filter(F.col("rank_in_stratum") <= n_per_stratum)
+    )
+
+
+def eval_set_stratified_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`eval_set_stratified` (identical md5-hex
+    ordering — ASCII compare of lowercase hex is engine-independent)."""
+    return f"""
+SELECT strata, {id_col}, rank_in_stratum FROM (
+  SELECT {strata_col} AS strata, {id_col},
+         row_number() OVER (
+           PARTITION BY {strata_col}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+         )::INT AS rank_in_stratum
+  FROM {table})
+WHERE rank_in_stratum <= {n_per_stratum}
+"""

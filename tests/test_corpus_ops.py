@@ -629,3 +629,51 @@ def test_quality_weighted_sample_rate_tracks_score(spark):
     kept = sampling.quality_weighted_sample(scored).count()
     p = score / config.MAX_SCORE
     assert abs(kept / n - p) < 0.05
+
+
+def test_lix_readability_exact_values_and_hostile_rows(spark):
+    from metadata_quality_stack_spark.operators.textops import lix_readability
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 2 sentences, 1 long word (7 chars): LIX =
+            # 6/2 + 100*(1/6) -> 3_000_000 + 16_666_666 = 19_666_666
+            (0, "the quick magical. fox jumps high!"),
+            (1, ""),  # empty: all zeros
+            (2, None),  # null text: all zeros
+            (3, "word " * 3),  # no sentence marks: div by greatest(0,1)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in lix_readability(docs).collect()}
+    assert out[0]["n_words"] == 6
+    assert out[0]["n_sentences"] == 2
+    assert out[0]["n_long_words"] == 1
+    assert out[0]["lix_micro"] == 3_000_000 + 16_666_666
+    for d in (1, 2):
+        assert out[d]["n_words"] == 0 and out[d]["lix_micro"] == 0
+    assert out[3]["n_sentences"] == 0
+    assert out[3]["lix_micro"] == 3_000_000  # 3 words / max(0,1) sentences
+
+
+def test_eval_set_stratified_covers_minority_strata(spark):
+    # 40 docs in lang 'a', only 2 in lang 'b': a plain 10% sample would
+    # usually miss 'b' entirely; the stratified builder must return
+    # exactly N from 'a' and ALL of 'b', deterministically
+    rows = [(i, "a") for i in range(40)] + [(100, "b"), (101, "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.eval_set_stratified(docs, n_per_stratum=5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["strata"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 5
+    assert by["b"] == {100, 101}
+    ranks = sorted(
+        r["rank_in_stratum"] for r in out if r["strata"] == "a"
+    )
+    assert ranks == [1, 2, 3, 4, 5]
+    # deterministic across runs
+    out2 = sampling.eval_set_stratified(docs, n_per_stratum=5).collect()
+    assert {(r["strata"], r["doc_id"]) for r in out} == {
+        (r["strata"], r["doc_id"]) for r in out2
+    }
