@@ -253,6 +253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_normalize"] = lambda s, d: urlops.url_normalize(_pages_with_url(s, d))
     q["url_dedup"] = lambda s, d: urlops.url_dedup(_pages_with_url(s, d))
     q["domain_stats"] = lambda s, d: urlops.domain_stats(_pages_with_url(s, d))
+    # pre-fetch URL filtering signal (RefinedWeb §3.1): structural
+    # features + integer soft spam score from the url string alone
+    q["url_feature_census"] = lambda s, d: urlops.url_feature_census(
+        _pages_with_url(s, d)
+    )
 
     # recrawl collapse: newest capture per canonical url (max_by-style
     # agg — no window sort; the exchange carries one slim row per key)
@@ -2521,6 +2526,7 @@ FROM per
         f"SELECT {url_norm} AS url_norm, min(doc_id) AS doc_id, "
         f"count(*) AS n_dups FROM ({syn_pages}) GROUP BY 1"
     )
+    o["url_feature_census"] = urlops.url_feature_census_sql(syn_pages)
     o["domain_stats"] = f"""
 WITH pages AS ({syn_pages}),
 n AS (SELECT doc_id, n_chars, {url_norm} AS url_norm FROM pages)

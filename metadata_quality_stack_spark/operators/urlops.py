@@ -435,3 +435,93 @@ def rescore_delta(
         "keep",
     )
     return carried.unionByName(scored)
+
+
+def _count_char(col: Column, ch: str) -> Column:
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+    ).cast("long")
+
+
+URL_SPAM_WORDS = ("porn", "xxx", "casino", "viagra", "poker", "escort")
+
+
+def url_feature_census(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Structural URL features + soft spam score (RefinedWeb §3.1 /
+    FineWeb URL filtering: before any text is fetched or scored, the
+    URL itself carries signal — adult-keyword hits, digit-heavy hosts
+    and paths, hyphen-stuffed domains, deep subdomain chains). Filtering
+    on it is free relative to everything downstream: it prunes fetch +
+    extraction + scoring for pages nothing else would drop until much
+    later.
+
+    All-native single-pass string expressions on the ~100-byte url
+    (count-by-replace and one literal-alternation rlike), MAP-ONLY —
+    fuses into the scan, composes with partition pruning; the score is
+    an integer weighted sum so both engines agree exactly.
+
+    Columns: doc_id, url_len, path_depth, n_digits, subdomain_depth,
+    n_hyphens_host, has_query, spam_word_hit, url_spam_score."""
+    u = F.lower(F.col(url_col))
+    nu = normalize_url(F.col(url_col))
+    host = domain_of(nu)
+    feats = pages.select(
+        id_col,
+        F.length(u).cast("long").alias("url_len"),
+        _count_char(nu, "/").alias("path_depth"),
+        (
+            F.length(u) - F.length(F.regexp_replace(u, "[0-9]", ""))
+        )
+        .cast("long")
+        .alias("n_digits"),
+        _count_char(host, ".").alias("subdomain_depth"),
+        _count_char(host, "-").alias("n_hyphens_host"),
+        nu.contains("?").cast("int").alias("has_query"),
+        u.rlike("(" + "|".join(URL_SPAM_WORDS) + ")")
+        .cast("int")
+        .alias("spam_word_hit"),
+    )
+    score = (
+        F.col("spam_word_hit") * 2
+        + (F.col("n_digits") > 5).cast("int")
+        + (F.col("n_hyphens_host") > 2).cast("int")
+        + (F.col("url_len") > 96).cast("int")
+        + (F.col("subdomain_depth") > 3).cast("int")
+    )
+    return feats.withColumn("url_spam_score", score.cast("int"))
+
+
+def url_feature_census_sql(
+    syn_pages: str, url_col: str = "url", id_col: str = "doc_id"
+) -> str:
+    """DuckDB mirror of :func:`url_feature_census` (same normalize chain,
+    same count-by-replace arithmetic, same weights)."""
+    u = f"lower({url_col})"
+    nu = normalize_url_sql(url_col)
+    host = f"regexp_replace(regexp_extract({nu}, '^([^/?&]+)', 1), ':[0-9]+$', '')"
+    spam = "|".join(URL_SPAM_WORDS)
+    return f"""
+WITH feats AS (
+  SELECT {id_col},
+    length({u})::BIGINT AS url_len,
+    (length({nu}) - length(replace({nu}, '/', '')))::BIGINT AS path_depth,
+    (length({u}) - length(regexp_replace({u}, '[0-9]', '', 'g')))::BIGINT
+      AS n_digits,
+    (length({host}) - length(replace({host}, '.', '')))::BIGINT
+      AS subdomain_depth,
+    (length({host}) - length(replace({host}, '-', '')))::BIGINT
+      AS n_hyphens_host,
+    (CASE WHEN contains({nu}, '?') THEN 1 ELSE 0 END)::INT AS has_query,
+    (CASE WHEN regexp_matches({u}, '({spam})') THEN 1 ELSE 0 END)::INT
+      AS spam_word_hit
+  FROM ({syn_pages}))
+SELECT *, (spam_word_hit * 2
+           + CASE WHEN n_digits > 5 THEN 1 ELSE 0 END
+           + CASE WHEN n_hyphens_host > 2 THEN 1 ELSE 0 END
+           + CASE WHEN url_len > 96 THEN 1 ELSE 0 END
+           + CASE WHEN subdomain_depth > 3 THEN 1 ELSE 0 END)::INT
+  AS url_spam_score
+FROM feats
+"""

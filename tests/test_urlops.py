@@ -264,3 +264,31 @@ def test_rescore_delta_scores_only_churn(spark):
     assert out["u/new"].action == "scored"
     # fresh scores are real rule outputs, not carried poison
     assert out["u/b"].total_score != 999 and out["u/new"].total_score != 999
+
+
+def test_url_feature_census_hostile_and_spam_scoring(spark):
+    from metadata_quality_stack_spark.operators.urlops import url_feature_census
+
+    rows = [
+        # clean page: short, no digits, no query
+        (0, "https://www.example.com/about"),
+        # spam-word hit + digit-heavy + hyphen-stuffed host + deep subdomains
+        (1, "http://best-casino-777.win-now-today.a.b.c.d.example.com/"
+            "offer123456?ref=9999"),
+        # long url crossing the 96-char line, no other flags
+        (2, "https://example.org/" + "a" * 90),
+        (3, "example.com"),  # bare host, no scheme/path
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r.asDict() for r in url_feature_census(docs).collect()}
+    assert out[0]["url_spam_score"] == 0
+    assert out[0]["has_query"] == 0
+    # doc 1 (78 chars, under the 96 line): spam word (2) + digits>5 (1)
+    # + hyphens>2 (1) + subdomain_depth>3 (1) = 5
+    assert out[1]["spam_word_hit"] == 1
+    assert out[1]["n_digits"] > 5
+    assert out[1]["n_hyphens_host"] > 2
+    assert out[1]["subdomain_depth"] > 3
+    assert out[1]["url_spam_score"] == 5
+    assert out[2]["url_spam_score"] == 1  # length only
+    assert out[3]["path_depth"] == 0 and out[3]["url_spam_score"] == 0
